@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Generate golden-stream conformance fixtures from the reference binaries.
+
+Run once (needs the reference built via scripts/build_reference.sh):
+
+    python tests/make_golden.py
+
+Produces small planar inputs plus reference-encoded streams / decoded
+outputs / tap outputs under tests/golden/. The fixtures are committed, so
+the test suite does not depend on the reference toolchain.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "golden")
+REFBIN = os.environ.get("VC2_REF_BIN", "/tmp/refbuild/bin")
+
+# (name, width, height, format, lumaDepth, frames)
+INPUTS = [
+    ("tiny422", 64, 32, "4:2:2", 10, 2),
+    ("tiny420", 48, 32, "4:2:0", 8, 1),
+    ("tiny444", 32, 32, "4:4:4", 12, 1),
+]
+
+# (case name, input, extra encoder args)
+CASES = [
+    ("constq_legall_d2", "tiny422", ["-m", "HQ_ConstQ", "-k", "LeGall", "-d", "2",
+                                     "-u", "1", "-a", "2", "-q", "20"]),
+    ("constq_haar1_d1", "tiny422", ["-m", "HQ_ConstQ", "-k", "Haar1", "-d", "1",
+                                    "-u", "2", "-a", "4", "-q", "8"]),
+    ("constq_dd97_d3", "tiny422", ["-m", "HQ_ConstQ", "-k", "DD97", "-d", "3",
+                                   "-u", "1", "-a", "2", "-q", "16"]),
+    ("constq_dd137_d2", "tiny420", ["-m", "HQ_ConstQ", "-k", "DD137", "-d", "2",
+                                    "-u", "2", "-a", "2", "-q", "12"]),
+    ("constq_fidelity_d1", "tiny444", ["-m", "HQ_ConstQ", "-k", "Fidelity", "-d", "1",
+                                       "-u", "4", "-a", "4", "-q", "10"]),
+    ("constq_daub97_d2", "tiny444", ["-m", "HQ_ConstQ", "-k", "Daub97", "-d", "2",
+                                     "-u", "2", "-a", "2", "-q", "24"]),
+    ("cbr_legall_d2", "tiny422", ["-m", "HQ_CBR", "-k", "LeGall", "-d", "2",
+                                  "-u", "1", "-a", "2", "-S", "1", "-s", "2048"]),
+    ("cbr_scalar2_prefix3", "tiny422", ["-m", "HQ_CBR", "-k", "LeGall", "-d", "2",
+                                        "-u", "1", "-a", "2", "-S", "2", "-P", "3",
+                                        "-s", "4096"]),
+    ("ld_legall_d2", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
+                                 "-u", "1", "-a", "2", "-s", "2048"]),
+    ("constq_interlaced", "tiny422", ["-m", "HQ_ConstQ", "-k", "LeGall", "-d", "2",
+                                      "-u", "1", "-a", "2", "-q", "20", "-i"]),
+    ("cbr_fragmented", "tiny422", ["-m", "HQ_CBR", "-k", "LeGall", "-d", "2",
+                                   "-u", "1", "-a", "2", "-S", "1", "-s", "2048",
+                                   "-F", "512"]),
+    ("ld_fragmented", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
+                                  "-u", "1", "-a", "2", "-s", "2048", "-F", "512"]),
+]
+
+TAP_CASES = [
+    ("constq_legall_d2", "Transform"),
+    ("constq_legall_d2", "Quantised"),
+    ("constq_legall_d2", "Indices"),
+    ("constq_legall_d2", "Packaged"),
+    ("cbr_legall_d2", "Indices"),
+    ("ld_legall_d2", "Quantised"),
+]
+
+
+def geometry(fmt: str, w: int, h: int):
+    if fmt == "4:4:4":
+        return h, w
+    if fmt == "4:2:2":
+        return h, w // 2
+    return h // 2, w // 2
+
+
+def make_input(name, w, h, fmt, depth, frames):
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    ch, cw = geometry(fmt, w, h)
+    path = os.path.join(GOLDEN, f"{name}.16p2")
+    shift = 16 - depth
+    with open(path, "wb") as f:
+        for _ in range(frames):
+            for (hh, ww) in ((h, w), (ch, cw), (ch, cw)):
+                yy, xx = np.mgrid[0:hh, 0:ww]
+                base = ((1 << (depth - 1))
+                        + (0.4 * (1 << depth)) * np.sin(yy / 7.0) * np.cos(xx / 9.0))
+                v = base.astype(np.int64) + rng.integers(-20, 20, (hh, ww))
+                v = np.clip(v, 0, (1 << depth) - 1).astype(np.uint16) << shift
+                f.write(v.astype(">u2").tobytes())
+    return path
+
+
+def run(cmd):
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def main():
+    os.makedirs(GOLDEN, exist_ok=True)
+    enc = os.path.join(REFBIN, "EncodeStream")
+    dec = os.path.join(REFBIN, "DecodeStream")
+    if not os.path.exists(enc):
+        print(f"reference binaries not found in {REFBIN}; "
+              "run scripts/build_reference.sh first", file=sys.stderr)
+        return 1
+    meta = {}
+    for name, w, h, fmt, depth, frames in INPUTS:
+        make_input(name, w, h, fmt, depth, frames)
+        meta[name] = dict(width=w, height=h, fmt=fmt, depth=depth, frames=frames)
+    import json
+
+    for case, inp, extra in CASES:
+        m = meta[inp]
+        base = [enc, "-x", str(m["width"]), "-y", str(m["height"]),
+                "-f", m["fmt"], "-l", str(m["depth"]), "-n", "2"]
+        src = os.path.join(GOLDEN, f"{inp}.16p2")
+        stream = os.path.join(GOLDEN, f"{case}.vc2")
+        run(base + extra + [src, stream])
+        run([dec, stream, os.path.join(GOLDEN, f"{case}.dec.16p2")])
+    for case, tap in TAP_CASES:
+        inp = next(i for c, i, _ in CASES if c == case)
+        extra = next(e for c, _, e in CASES if c == case)
+        m = meta[inp]
+        base = [enc, "-x", str(m["width"]), "-y", str(m["height"]),
+                "-f", m["fmt"], "-l", str(m["depth"]), "-n", "2"]
+        src = os.path.join(GOLDEN, f"{inp}.16p2")
+        out = os.path.join(GOLDEN, f"{case}.{tap.lower()}.raw")
+        run(base + extra + ["-o", tap, src, out])
+    with open(os.path.join(GOLDEN, "meta.json"), "w") as f:
+        json.dump({"inputs": meta,
+                   "cases": [[c, i, e] for c, i, e in CASES],
+                   "taps": TAP_CASES}, f, indent=1)
+    print("golden fixtures written to", GOLDEN)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Golden-stream conformance: byte-exact parity with the reference binaries.
+
+Fixtures are produced by tests/make_golden.py from compiled
+bbc/vc2-reference binaries. Every case asserts BOTH directions:
+encode -> identical stream bytes; decode(reference stream) -> identical
+planar output bytes.
+"""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vc2tpu.cli import decode_stream, encode_stream
+from vc2tpu.core.config import DecOutput
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+META = json.load(open(os.path.join(GOLDEN, "meta.json")))
+CASES = [tuple(c) for c in META["cases"]]
+
+
+def _encode_args(case, inp, extra):
+    m = META["inputs"][inp]
+    argv = ["-x", str(m["width"]), "-y", str(m["height"]), "-f", m["fmt"],
+            "-l", str(m["depth"]), "-n", "2"] + list(extra)
+    return argv
+
+
+def _run_encode(argv, src, out):
+    args = encode_stream.build_parser().parse_args(argv + [src, out])
+    assert encode_stream.run(args) == 0
+
+
+@pytest.mark.parametrize("case,inp,extra", CASES,
+                         ids=[c[0] for c in CASES])
+def test_encode_stream_byte_identical(case, inp, extra, tmp_path):
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "out.vc2")
+    _run_encode(_encode_args(case, inp, extra), src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    mine = open(out, "rb").read()
+    assert mine == ref
+
+
+@pytest.mark.parametrize("case,inp,extra", CASES,
+                         ids=[c[0] for c in CASES])
+def test_decode_stream_bit_exact(case, inp, extra, tmp_path):
+    data = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    sink = io.BytesIO()
+    dec = decode_stream.Decoder(output=DecOutput.DECODED, sink=sink)
+    assert dec.run(data) == 0
+    ref = open(os.path.join(GOLDEN, f"{case}.dec.16p2"), "rb").read()
+    assert sink.getvalue() == ref
+
+
+@pytest.mark.parametrize("case,tap", [tuple(t) for t in META["taps"]],
+                         ids=[f"{c}-{t}" for c, t in META["taps"]])
+def test_encoder_tap_outputs(case, tap, tmp_path):
+    inp = next(i for c, i, _ in CASES if c == case)
+    extra = next(e for c, _, e in CASES if c == case)
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "tap.raw")
+    _run_encode(_encode_args(case, inp, extra) + ["-o", tap], src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.{tap.lower()}.raw"), "rb").read()
+    assert open(out, "rb").read() == ref
+
+
+def test_encoder_psnr_self_check(tmp_path):
+    """DECODED tap: in-process decode of our own encode round-trips through
+    the same clip/interleave path the reference uses (EncodeStream.cpp:649-767)."""
+    case, inp, extra = CASES[0]
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "dec.16p2")
+    _run_encode(_encode_args(case, inp, extra) + ["-o", "Decoded"], src, out)
+    # our Decoded tap must equal DecodeStream's output on our own stream
+    ref = open(os.path.join(GOLDEN, f"{case}.dec.16p2"), "rb").read()
+    assert open(out, "rb").read() == ref

@@ -1,0 +1,127 @@
+"""ctypes bridge to the native host codec (vc2host.cpp).
+
+Compiles the shared object on first use if a compiler is available; callers
+fall back to the NumPy implementations when ``native`` is None. Set
+VC2TPU_NO_NATIVE=1 to force the NumPy paths (used by tests to cover both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "vc2host.cpp")
+_SO = os.path.join(_HERE, "libvc2host.so")
+
+
+class _Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        i64 = ctypes.c_int64
+        lib.pack_codes.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        lib.unpack_streams.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.encode_lanes.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ]
+        lib.component_bits_used.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.ld_encode.argtypes = [p32, p32, p32, i64, i64, i64, i64, i64, i64,
+                                  i64, p32, p32, p32, i64, p32, i64, p32, p32,
+                                  p32, p32, p32]
+        lib.ld_encode.restype = ctypes.c_int
+        lib.ld_dequantise_plane.argtypes = [p32, i64, i64, i64, i64, i64, p32,
+                                            p32, p32]
+
+    def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
+        self._lib.pack_codes(
+            np.ascontiguousarray(codes, np.uint64),
+            np.ascontiguousarray(nbits, np.uint32),
+            np.ascontiguousarray(offsets, np.int64),
+            int(n), int(total_bits), out)
+
+    def unpack_streams(self, payload, buflen, starts, bounds, S, n_lanes, out):
+        self._lib.unpack_streams(
+            np.ascontiguousarray(payload, np.uint8), int(buflen),
+            np.ascontiguousarray(starts, np.int64),
+            np.ascontiguousarray(bounds, np.int64),
+            int(S), int(n_lanes), out)
+
+    def encode_lanes(self, lanes, codes, nbits):
+        flat = np.ascontiguousarray(lanes, np.int32).ravel()
+        self._lib.encode_lanes(flat, flat.size, codes, nbits)
+
+    def component_bits_used(self, lanes, S, n_lanes, out):
+        self._lib.component_bits_used(
+            np.ascontiguousarray(lanes, np.int32), int(S), int(n_lanes), out)
+
+    def ld_encode(self, yp, up, vp, dims, slice_grid, ts, qm_block_y, qm_block_c,
+                  perm_y, perm_c, slice_bytes, q_out, qy_out, qu_out, qv_out):
+        (H, W, CH, CW) = dims
+        (ys, xs) = slice_grid
+        c = lambda a: np.ascontiguousarray(a, np.int32)
+        return self._lib.ld_encode(
+            c(yp), c(up), c(vp), H, W, CH, CW, ys, xs, int(ts),
+            c(qm_block_y), c(qm_block_c), c(perm_y), perm_y.size,
+            c(perm_c), perm_c.size, c(slice_bytes),
+            q_out, qy_out, qu_out, qv_out)
+
+    def ld_dequantise_plane(self, qplane, H, W, ys, xs, ts, qm_block, q_idx, out):
+        self._lib.ld_dequantise_plane(
+            np.ascontiguousarray(qplane, np.int32), int(H), int(W), int(ys),
+            int(xs), int(ts), np.ascontiguousarray(qm_block, np.int32),
+            np.ascontiguousarray(q_idx, np.int32), out)
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    for cxx in (os.environ.get("CXX"), "g++", "c++", "clang++"):
+        if not cxx:
+            continue
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-shared", "-fPIC", "-std=c++14", _SRC, "-o", _SO],
+                check=True, capture_output=True)
+            return _SO
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+native: _Native | None = None
+if not os.environ.get("VC2TPU_NO_NATIVE"):
+    try:
+        _path = _build()
+        if _path:
+            native = _Native(ctypes.CDLL(_path))
+    except Exception as exc:  # pragma: no cover
+        print(f"vc2tpu: native host codec unavailable ({exc}); using NumPy",
+              file=sys.stderr)
+        native = None

@@ -1,0 +1,404 @@
+// vc2host — native host-side entropy codec for vc2tpu.
+//
+// The TPU generates, per coefficient lane, an interleaved exp-Golomb code
+// word and bit length; this module scatters those into the byte stream
+// (pack) and runs the sequential bounded-region exp-Golomb decode (unpack).
+// Bounded-region semantics mirror the reference bit engine
+// (/root/reference/src/Library/src/VLC.cpp:149-257): writes beyond a bound
+// drop 1-bits, reads beyond a bound return 1-bits.
+//
+// Built as a plain C ABI shared object, loaded with ctypes (no pybind11).
+
+#include <cstdint>
+#include <cstring>
+
+#if defined(_MSC_VER)
+#define EXPORT extern "C" __declspec(dllexport)
+#else
+#define EXPORT extern "C" __attribute__((visibility("default")))
+#endif
+
+static inline uint64_t bswap64(uint64_t v) {
+#if defined(__GNUC__)
+  return __builtin_bswap64(v);
+#else
+  v = ((v & 0x00000000FFFFFFFFull) << 32) | (v >> 32);
+  v = ((v & 0x0000FFFF0000FFFFull) << 16) | ((v >> 16) & 0x0000FFFF0000FFFFull);
+  v = ((v & 0x00FF00FF00FF00FFull) << 8) | ((v >> 8) & 0x00FF00FF00FF00FFull);
+  return v;
+#endif
+}
+
+// Scatter `n` codes into `out` (size >= 8*ceil(total_bits/64), zeroed by the
+// caller). Code i occupies bits [off[i], off[i]+nbits[i]) of the big-endian
+// bit stream; bits at or past total_bits are dropped (they are all 1-bits of
+// trailing zero-value codes by construction).
+EXPORT void pack_codes(const uint64_t* codes, const uint32_t* nbits,
+                       const int64_t* off, int64_t n, int64_t total_bits,
+                       uint8_t* out) {
+  uint64_t* words = reinterpret_cast<uint64_t*>(out);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t o = off[i];
+    int64_t nb = static_cast<int64_t>(nbits[i]);
+    if (o >= total_bits) continue;
+    int64_t end = o + nb;
+    if (end > total_bits) {  // drop the tail past the bound
+      int64_t drop = end - total_bits;
+      nb -= drop;
+      end = total_bits;
+    }
+    uint64_t code = codes[i] >> (static_cast<int64_t>(nbits[i]) - nb);
+    int64_t w0 = o >> 6;
+    int64_t avail = 64 - (o & 63);
+    if (nb <= avail) {
+      words[w0] |= bswap64(code << (avail - nb));
+    } else {
+      int64_t overflow = nb - avail;
+      words[w0] |= bswap64(code >> overflow);
+      words[w0 + 1] |= bswap64((code & ((1ull << overflow) - 1)) << (64 - overflow));
+    }
+  }
+}
+
+static inline int get_bit(const uint8_t* buf, int64_t buflen, int64_t bitpos) {
+  int64_t byte = bitpos >> 3;
+  if (byte >= buflen) return 1;
+  return (buf[byte] >> (7 - (bitpos & 7))) & 1;
+}
+
+// Decode S bounded exp-Golomb streams of n_lanes signed values each.
+// start[s] is the absolute first bit, bound[s] the region length in bits.
+EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
+                           const int64_t* start, const int64_t* bound,
+                           int64_t S, int64_t n_lanes, int32_t* out) {
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t pos = 0;
+    const int64_t lim = bound[s];
+    const int64_t base = start[s];
+    int32_t* row = out + s * n_lanes;
+    int64_t lane = 0;
+    while (lane < n_lanes) {
+      if (pos >= lim) {  // only virtual 1-bits remain -> zeros
+        for (; lane < n_lanes; ++lane) row[lane] = 0;
+        break;
+      }
+      // decodeUnsignedVLC loop (reference VLC.cpp:283-295)
+      uint32_t value = 1;
+      for (;;) {
+        int b = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+        ++pos;
+        if (b) break;
+        int d = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+        ++pos;
+        value = (value << 1) | static_cast<uint32_t>(d);
+      }
+      value -= 1;
+      int32_t v = static_cast<int32_t>(value);
+      if (v != 0) {
+        int sign = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+        ++pos;
+        if (sign) v = -v;
+      }
+      row[lane++] = v;
+    }
+  }
+}
+
+// Generate the interleaved exp-Golomb (signed) code word + bit length for
+// each int32 lane (reference VLC.cpp:21-94). Codes are MSB-first in the low
+// `nbits` bits of the uint64.
+EXPORT void encode_lanes(const int32_t* lanes, int64_t n, uint64_t* codes,
+                         uint32_t* nbits) {
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = lanes[i];
+    if (v == 0) { codes[i] = 1; nbits[i] = 1; continue; }
+    uint32_t u = static_cast<uint32_t>(v < 0 ? -v : v) + 1;
+    int k = 32 - __builtin_clz(u);
+    uint64_t bits = 0;
+    for (int j = k - 2; j >= 0; --j) {
+      bits <<= 2;
+      if ((u >> j) & 1) bits |= 1;
+    }
+    bits = (bits << 1) | 1;             // terminator
+    bits = (bits << 1) | (v < 0 ? 1 : 0);  // sign
+    codes[i] = bits;
+    nbits[i] = static_cast<uint32_t>(2 * k);
+  }
+}
+
+// ------------------------------------------------------------------ LD path
+// The Low Delay profile couples slices through LL-subband DC prediction
+// (reference Quantisation.cpp:191-306, EncodeStream.cpp:141-245), a strict
+// raster recurrence — it runs on the host.
+
+static const uint32_t kQuantFactor[120] = {
+    0x000000004u, 0x000000005u, 0x000000006u, 0x000000007u, 0x000000008u, 0x00000000Au, 0x00000000Bu, 0x00000000Du,
+    0x000000010u, 0x000000013u, 0x000000017u, 0x00000001Bu, 0x000000020u, 0x000000026u, 0x00000002Du, 0x000000036u,
+    0x000000040u, 0x00000004Cu, 0x00000005Bu, 0x00000006Cu, 0x000000080u, 0x000000098u, 0x0000000B5u, 0x0000000D7u,
+    0x000000100u, 0x000000130u, 0x00000016Au, 0x0000001AFu, 0x000000200u, 0x000000261u, 0x0000002D4u, 0x00000035Du,
+    0x000000400u, 0x0000004C2u, 0x0000005A8u, 0x0000006BAu, 0x000000800u, 0x000000983u, 0x000000B50u, 0x000000D74u,
+    0x000001000u, 0x000001307u, 0x0000016A1u, 0x000001AE9u, 0x000002000u, 0x00000260Eu, 0x000002D41u, 0x0000035D1u,
+    0x000004000u, 0x000004C1Cu, 0x000005A82u, 0x000006BA2u, 0x000008000u, 0x000009838u, 0x00000B505u, 0x00000D745u,
+    0x000010000u, 0x000013070u, 0x000016A0Au, 0x00001AE8Au, 0x000020000u, 0x0000260E0u, 0x00002D414u, 0x000035D14u,
+    0x000040000u, 0x00004C1C0u, 0x00005A828u, 0x00006BA28u, 0x000080000u, 0x00009837Fu, 0x0000B504Fu, 0x0000D7450u,
+    0x000100000u, 0x0001306FEu, 0x00016A09Eu, 0x0001AE8A0u, 0x000200000u, 0x000260DFCu, 0x0002D413Du, 0x00035D13Fu,
+    0x000400000u, 0x0004C1BF8u, 0x0005A827Au, 0x0006BA27Eu, 0x000800000u, 0x0009837F0u, 0x000B504F3u, 0x000D744FDu,
+    0x001000000u, 0x001306FE1u, 0x0016A09E6u, 0x001AE89FAu, 0x002000000u, 0x00260DFC1u, 0x002D413CDu, 0x0035D13F3u,
+    0x004000000u, 0x004C1BF83u, 0x005A8279Au, 0x006BA27E6u, 0x008000000u, 0x009837F05u, 0x00B504F33u, 0x00D744FCDu,
+    0x010000000u, 0x01306FE0Au, 0x016A09E66u, 0x01AE89F99u, 0x020000000u, 0x0260DFC14u, 0x02D413CCDu, 0x035D13F33u,
+    0x040000000u, 0x04C1BF829u, 0x05A82799Au, 0x06BA27E65u, 0x080000000u, 0x09837F052u, 0x0B504F334u, 0x0D744FCCBu,
+};
+
+static inline int qf_i32(int q) {
+  if (q < 0) q = 0;
+  if (q > 119) q = 119;  // reference throws; callers validate the domain
+  return static_cast<int>(kQuantFactor[q]);
+}
+
+static inline int qoffset_i32(int q) {
+  if (q < 0) q = 0;
+  if (q == 0) return 1;
+  if (q == 1) return 2;
+  return (qf_i32(q) + 1) / 2;
+}
+
+static inline int c_quant(int value, int q) {  // Quantisation.cpp:69-76
+  bool neg = value < 0;
+  if (neg) value = -value;
+  value <<= 2;
+  value /= qf_i32(q);
+  return neg ? -value : value;
+}
+
+static inline int c_scale(int value, int q) {  // Quantisation.cpp:86-95
+  bool neg = value < 0;
+  if (neg) value = -value;
+  value *= qf_i32(q);
+  if (value > 0) value += qoffset_i32(q);
+  value += 2;
+  value /= 4;
+  return neg ? -value : value;
+}
+
+static inline int adjust_q(int qIndex, int qm) {  // Quantisation.cpp:16-20
+  int a = qIndex - qm;
+  return a < 0 ? 0 : a;
+}
+
+static inline int predict_dc(const int32_t* ll, int llw, int y, int x) {
+  if (y > 0 && x > 0) {
+    int r = ll[(y - 1) * llw + (x - 1)] + ll[(y - 1) * llw + x] + ll[y * llw + (x - 1)];
+    return r >= 0 ? (r + 1) / 3 : (r - 1) / 3;
+  }
+  if (y > 0) return ll[(y - 1) * llw + x];
+  if (x > 0) return ll[y * llw + (x - 1)];
+  return 0;
+}
+
+static inline int svlc_bits(int32_t v) {
+  if (v == 0) return 1;
+  uint32_t u = static_cast<uint32_t>(v < 0 ? -v : v) + 1;
+  return 2 * (32 - __builtin_clz(u));
+}
+
+namespace {
+
+// Per-plane LD slice quantiser state machine, the analogue of
+// SliceQuantiserRef (reference EncodeStream.cpp:141-192). Walks slices in
+// raster order; quantise_slice(q) trial-quantises the current slice with
+// LL DC prediction against the running reconstructed-LL plane.
+struct LDPlaneQuantiser {
+  const int32_t* coeffs;
+  int H, W, ySlices, xSlices, sliceH, sliceW, ts, llw;
+  const int32_t* qm_block;  // per-position quant matrix value, slice block row-major
+  int32_t* decodedLL;       // (H/ts) x (W/ts)
+  int32_t* qslice;          // sliceH x sliceW scratch
+  int v, h;
+
+  void init(const int32_t* c, int H_, int W_, int ys, int xs,
+            const int32_t* qm, int ts_, int32_t* dll, int32_t* qs) {
+    coeffs = c; H = H_; W = W_; ySlices = ys; xSlices = xs;
+    sliceH = H / ys; sliceW = W / xs; ts = ts_; llw = W / ts_;
+    qm_block = qm; decodedLL = dll; qslice = qs; v = 0; h = 0;
+  }
+
+  void quantise_slice(int qIndex) {
+    for (int y = 0, yPos = v * sliceH; y < sliceH; ++y, ++yPos) {
+      for (int x = 0, xPos = h * sliceW; x < sliceW; ++x, ++xPos) {
+        const int aq = adjust_q(qIndex, qm_block[y * sliceW + x]);
+        if ((y % ts) == 0 && (x % ts) == 0) {  // LL subband
+          const int yLL = yPos / ts, xLL = xPos / ts;
+          const int pred = predict_dc(decodedLL, llw, yLL, xLL);
+          const int qv = c_quant(coeffs[yPos * W + xPos] - pred, aq);
+          qslice[y * sliceW + x] = qv;
+          decodedLL[yLL * llw + xLL] = c_scale(qv, aq) + pred;
+        } else {
+          qslice[y * sliceW + x] = c_quant(coeffs[yPos * W + xPos], aq);
+        }
+      }
+    }
+  }
+
+  // luma_slice_bits-style count over qslice in subband (perm) order
+  int slice_bits(const int32_t* perm, int L) const {
+    int gross = 0, count = 0;
+    for (int k = 0; k < L; ++k) {
+      const int nb = svlc_bits(qslice[perm[k]]);
+      gross += nb;
+      if (nb > 1) count = gross;
+    }
+    return count;
+  }
+
+  void store(int32_t* out) const {  // write final qslice into the out plane
+    for (int y = 0, yPos = v * sliceH; y < sliceH; ++y, ++yPos)
+      std::memcpy(out + yPos * W + h * sliceW, qslice + y * sliceW,
+                  sliceW * sizeof(int32_t));
+  }
+
+  bool next_slice() {
+    if (h < xSlices - 1) { ++h; return true; }
+    if (v < ySlices - 1) { h = 0; ++v; return true; }
+    return false;
+  }
+};
+
+static int intlog2_c(int value) {  // Utils.cpp:40-48
+  int log = 0;
+  --value;
+  while (value > 0) { value >>= 1; ++log; }
+  return log;
+}
+
+}  // namespace
+
+// LD rate control + final quantisation in one pass (the final requantise of
+// each slice, with the chosen q, leaves the DC-prediction state exactly as
+// quantise_transform would — reference EncodeStream.cpp:195-245).
+// band-of-position maps are slice-block row-major quant-matrix values.
+// Returns 0 on success, 1 if uv bits would not fit any q (cannot happen for
+// q=127 in practice, mirrors the reference's unchecked assumption).
+EXPORT int ld_encode(const int32_t* yp, const int32_t* up, const int32_t* vp,
+                     int64_t H, int64_t W, int64_t CH, int64_t CW,
+                     int64_t ySlices, int64_t xSlices, int64_t ts,
+                     const int32_t* qm_block_y,   // (H/ySlices)*(W/xSlices)
+                     const int32_t* qm_block_c,   // (CH/ySlices)*(CW/xSlices)
+                     const int32_t* perm_y, int64_t Ly,
+                     const int32_t* perm_c, int64_t Lc,
+                     const int32_t* slice_bytes,  // N
+                     int32_t* q_out,              // N
+                     int32_t* qy_out, int32_t* qu_out, int32_t* qv_out) {
+  const int64_t N = ySlices * xSlices;
+  int32_t* dll_y = new int32_t[(H / ts) * (W / ts)]();
+  int32_t* dll_u = new int32_t[(CH / ts) * (CW / ts)]();
+  int32_t* dll_v = new int32_t[(CH / ts) * (CW / ts)]();
+  int32_t* qs_y = new int32_t[(H / ySlices) * (W / xSlices)];
+  int32_t* qs_u = new int32_t[(CH / ySlices) * (CW / xSlices)];
+  int32_t* qs_v = new int32_t[(CH / ySlices) * (CW / xSlices)];
+  LDPlaneQuantiser qy, qu, qv;
+  qy.init(yp, H, W, ySlices, xSlices, qm_block_y, ts, dll_y, qs_y);
+  qu.init(up, CH, CW, ySlices, xSlices, qm_block_c, ts, dll_u, qs_u);
+  qv.init(vp, CH, CW, ySlices, xSlices, qm_block_c, ts, dll_v, qs_v);
+  for (int64_t i = 0; i < N; ++i) {
+    const int bytes = slice_bytes[i];
+    const int length_bits = intlog2_c(8 * bytes - 7);
+    const int bits_available = 8 * bytes - 7 - length_bits;
+    int trialQ = 63, q = 127, delta = 64;
+    while (delta > 0) {
+      delta >>= 1;
+      qy.quantise_slice(trialQ);
+      qu.quantise_slice(trialQ);
+      qv.quantise_slice(trialQ);
+      int bits = qy.slice_bits(perm_y, Ly);
+      // chroma bits: u and v interleaved per coefficient (Slices.cpp:71-95)
+      {
+        int gross = 0, count = 0;
+        for (int64_t k = 0; k < Lc; ++k) {
+          int nb = svlc_bits(qs_u[perm_c[k]]);
+          gross += nb;
+          if (nb > 1) count = gross;
+          nb = svlc_bits(qs_v[perm_c[k]]);
+          gross += nb;
+          if (nb > 1) count = gross;
+        }
+        bits += count;
+      }
+      if (bits <= bits_available) {
+        if (trialQ < q) q = trialQ;
+        trialQ -= delta;
+      } else {
+        trialQ += delta;
+      }
+    }
+    qy.quantise_slice(q);
+    qu.quantise_slice(q);
+    qv.quantise_slice(q);
+    q_out[i] = q;
+    qy.store(qy_out);
+    qu.store(qu_out);
+    qv.store(qv_out);
+    qy.next_slice();
+    qu.next_slice();
+    qv.next_slice();
+  }
+  delete[] dll_y; delete[] dll_u; delete[] dll_v;
+  delete[] qs_y; delete[] qs_u; delete[] qs_v;
+  return 0;
+}
+
+// Inverse-quantise a full plane in transform order with LL DC prediction
+// (reference inverse_quantise_LLSubband + inverse_quantise_subbands,
+// Quantisation.cpp:287-353). qm_block is the slice-block quant-matrix map.
+EXPORT void ld_dequantise_plane(const int32_t* qplane, int64_t H, int64_t W,
+                                int64_t ySlices, int64_t xSlices, int64_t ts,
+                                const int32_t* qm_block, const int32_t* q_idx,
+                                int32_t* out) {
+  const int64_t sliceH = H / ySlices, sliceW = W / xSlices;
+  const int64_t llh = H / ts, llw = W / ts;
+  int32_t* ll = new int32_t[llh * llw];
+  // LL subband first, sequential raster with prediction
+  for (int64_t y = 0; y < llh; ++y) {
+    for (int64_t x = 0; x < llw; ++x) {
+      const int64_t yb = ((y + 1) * ySlices - 1) / llh;
+      const int64_t xb = ((x + 1) * xSlices - 1) / llw;
+      const int64_t yy = y * ts, xx = x * ts;
+      const int aq = adjust_q(q_idx[yb * xSlices + xb],
+                              qm_block[(yy % sliceH) * sliceW + (xx % sliceW)]);
+      const int pred = predict_dc(ll, llw, y, x);
+      ll[y * llw + x] = c_scale(qplane[yy * W + xx], aq) + pred;
+    }
+  }
+  for (int64_t y = 0; y < H; ++y) {
+    for (int64_t x = 0; x < W; ++x) {
+      if ((y % ts) == 0 && (x % ts) == 0) {
+        out[y * W + x] = ll[(y / ts) * llw + (x / ts)];
+      } else {
+        const int64_t yb = y / sliceH, xb = x / sliceW;
+        const int aq = adjust_q(q_idx[yb * xSlices + xb],
+                                qm_block[(y % sliceH) * sliceW + (x % sliceW)]);
+        out[y * W + x] = c_scale(qplane[y * W + x], aq);
+      }
+    }
+  }
+  delete[] ll;
+}
+
+// Compute, for S streams of n_lanes quantised coefficients, the "bits used"
+// count with the trailing-zero truncation rule (reference Slices.cpp:97-119):
+// gross bit count up to and including the last non-zero coefficient.
+EXPORT void component_bits_used(const int32_t* lanes, int64_t S, int64_t n_lanes,
+                                int32_t* out) {
+  for (int64_t s = 0; s < S; ++s) {
+    const int32_t* row = lanes + s * n_lanes;
+    int64_t gross = 0, count = 0;
+    for (int64_t i = 0; i < n_lanes; ++i) {
+      int32_t v = row[i];
+      if (v == 0) { gross += 1; continue; }
+      uint32_t u = static_cast<uint32_t>(v < 0 ? -v : v) + 1;
+      int k = 32 - __builtin_clz(u);
+      gross += 2 * k;
+      count = gross;
+    }
+    out[s] = static_cast<int32_t>(count);
+  }
+}

@@ -1,0 +1,282 @@
+"""DecodeStream-compatible CLI: VC-2 stream -> planar file.
+
+Data-unit dispatch loop mirroring /root/reference/src/DecodeStream/
+DecodeStream.cpp:205-981: resync, sequence-header state, LD/HQ pictures,
+fragment reassembly, aux/padding skip, interlaced field pairing, signal
+clip, and the TRANSFORM / QUANTISED / INDICES / DECODED tap outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
+                                WaveletKernel)
+from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
+from vc2tpu.core.planario import SampleFormat, write_picture
+from vc2tpu.pipeline.decoder import synthesise_lanes
+from vc2tpu.pipeline.encoder import SliceGeometry
+from vc2tpu.pipeline import ld as ld_pipeline
+from vc2tpu.slices import layout
+from vc2tpu.slices.hq import decode_hq_slices
+from vc2tpu.slices.ld import decode_ld_slices
+from vc2tpu.stream.dataunit import DataUnitType, StreamReader
+from vc2tpu.wavelet import matrices
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vc2tpu-decode",
+        description="Decodes a VC-2 stream to an uncompressed planar file")
+    p.add_argument("inFile")
+    p.add_argument("outFile")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-o", "--output", default="Decoded",
+                   choices=[o.value for o in DecOutput])
+    return p
+
+
+def _geometry(hdr, depth: int) -> tuple[PictureGeometry, SliceGeometry, int]:
+    pic_h = hdr.height // 2 if hdr.interlace else hdr.height
+    padded_h = matrices.padded_size(pic_h, depth)
+    padded_w = matrices.padded_size(hdr.width, depth)
+    return pic_h, padded_h, padded_w
+
+
+@dataclasses.dataclass
+class _FragState:
+    """Per-picture fragment reassembly (reference FragmentedPictureData,
+    DecodeStream.cpp:62-101)."""
+
+    preamble: object
+    payload_parts: dict            # first-slice-index -> bytes
+    slices_decoded: int = 0
+
+
+class Decoder:
+    """Stateful stream decoder usable as a library (the CLI drives it)."""
+
+    def __init__(self, output: DecOutput = DecOutput.DECODED, verbose=False,
+                 sink=None):
+        self.output = output
+        self.verbose = verbose
+        self.sink = sink
+        self.hdr = None
+        self.pic = 0
+        self.frame = 0
+        self.first_field = None
+        self.frags: dict[int, _FragState] = {}
+        self.frames_out = 0
+
+    def log(self, msg):
+        if self.verbose:
+            print(msg, file=sys.stderr)
+
+    # --- picture decode core (shared by whole pictures and fragments) ---
+
+    def _decode_picture_payload(self, pre, payload: np.ndarray, hq: bool,
+                                start: int = 0):
+        hdr = self.hdr
+        depth = pre.depth
+        pic_h, padded_h, padded_w = _geometry(hdr, depth)
+        from vc2tpu.core.config import chroma_dims
+
+        pch, pcw = chroma_dims(padded_h, padded_w, hdr.chroma_format)
+        ys, xs = pre.slices_y, pre.slices_x
+        geo = SliceGeometry(ys, xs, (padded_h, padded_w), (pch, pcw),
+                            (padded_h // ys, padded_w // xs),
+                            (pch // ys, pcw // xs))
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        if hq:
+            data = decode_hq_slices(payload, geo.n_slices, pre.slice_prefix,
+                                    pre.slice_size_scalar, (Ly, Lc, Lc),
+                                    start=start)
+            q_idx, (ly, lu, lv) = data.q_indices, data.lanes
+        else:
+            compressed = (pre.slice_bytes_numerator * ys * xs
+                          // pre.slice_bytes_denominator)
+            picture_bytes = compressed // 2 if hdr.interlace else compressed
+            sizes = layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
+            q_idx, ly, lu, lv, _ = decode_ld_slices(payload, sizes, (Ly, Lc),
+                                                    start=start)
+        return geo, pic_h, q_idx, ly, lu, lv
+
+    def _finish_picture(self, pre, geo, pic_h, q_idx, ly, lu, lv, hq: bool):
+        hdr = self.hdr
+        qmatrix = matrices.quant_matrix(pre.wavelet_kernel, pre.depth)
+        if self.output == DecOutput.INDICES:
+            self.sink.write(q_idx.astype(np.uint8).tobytes())
+            return
+        sig_fmt = SampleFormat(word_width=4, signed=True, offset=False)
+        if self.output == DecOutput.QUANTISED:
+            pic = Picture(
+                layout.lanes_to_plane(ly, geo.y_slices, geo.x_slices,
+                                      *geo.luma_slice, pre.depth),
+                layout.lanes_to_plane(lu, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, pre.depth),
+                layout.lanes_to_plane(lv, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, pre.depth),
+                hdr.chroma_format)
+            write_picture(self.sink, pic, sig_fmt)
+            return
+        out_geom = PictureGeometry.of(pic_h, hdr.width, hdr.chroma_format)
+        if hq:
+            if self.output == DecOutput.TRANSFORM:
+                pic = synthesise_lanes(ly, lu, lv, q_idx, qmatrix,
+                                       pre.wavelet_kernel, pre.depth, geo,
+                                       out_geom, hdr.chroma_format,
+                                       dequant_only=True)
+                write_picture(self.sink, pic, sig_fmt)
+                return
+            picture = synthesise_lanes(ly, lu, lv, q_idx, qmatrix,
+                                       pre.wavelet_kernel, pre.depth, geo,
+                                       out_geom, hdr.chroma_format)
+        else:
+            quantised = Picture(
+                layout.lanes_to_plane(ly, geo.y_slices, geo.x_slices,
+                                      *geo.luma_slice, pre.depth),
+                layout.lanes_to_plane(lu, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, pre.depth),
+                layout.lanes_to_plane(lv, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, pre.depth),
+                hdr.chroma_format)
+            qm_block_y = ld_pipeline._qm_block(*geo.luma_slice, pre.depth, qmatrix)
+            qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice, pre.depth,
+                                               qmatrix)
+            transform = ld_pipeline.ld_dequantise_picture(
+                quantised, q_idx, qm_block_y, qm_block_c, geo, pre.depth)
+            if self.output == DecOutput.TRANSFORM:
+                write_picture(self.sink, transform, sig_fmt)
+                return
+            from vc2tpu.wavelet import lifting
+
+            picture = lifting.inverse_picture(transform, pre.wavelet_kernel,
+                                              pre.depth, out_geom)
+            picture = Picture(np.asarray(picture.y), np.asarray(picture.c1),
+                              np.asarray(picture.c2), hdr.chroma_format)
+        self._emit_picture(picture)
+
+    def _emit_picture(self, picture: Picture):
+        hdr = self.hdr
+        if hdr.interlace:
+            if self.pic == 0:
+                self.first_field = picture
+                self.pic = 1
+                return
+            out_frame = interleave_fields(self.first_field, picture,
+                                          hdr.top_field_first)
+            self.pic = 0
+        else:
+            out_frame = picture
+        out_frame = signal_clip(out_frame, hdr.bitdepth, hdr.bitdepth)
+        word = 1 if hdr.bitdepth == 8 else 2
+        fmt = SampleFormat(word_width=word, bit_depth=hdr.bitdepth, offset=True)
+        write_picture(self.sink, out_frame, fmt)
+        self.frame += 1
+        self.frames_out += 1
+
+    # --- data unit handlers ---
+
+    def run(self, data: bytes) -> int:
+        rd = StreamReader(data)
+        if not rd.synchronise():
+            return 0
+        rd.r.seek(rd.r.byte_pos - 4)
+        while True:
+            if rd.eof():
+                self.log("End of data stream reached successfully, exiting.")
+                return 0
+            du_type, next_off, _prev = rd.read_data_unit()
+            self.log(f"Have read data unit of type: {du_type.value}")
+            if du_type == DataUnitType.SEQUENCE_HEADER:
+                self.hdr = rd.read_sequence_header()
+            elif du_type == DataUnitType.END_OF_SEQUENCE:
+                self.log(f"End of Sequence after {self.frame} frames")
+            elif du_type in (DataUnitType.AUXILIARY_DATA, DataUnitType.PADDING_DATA):
+                if next_off - 13 < 0:
+                    raise ValueError("data length is less than zero.")
+                rd.r.seek(rd.r.byte_pos + next_off - 13)
+            elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
+                hq = du_type == DataUnitType.HQ_PICTURE
+                _picnum = rd.read_picture_number()
+                pre = rd.read_preamble(hq)
+                if self.hdr is None:
+                    self.log("Cannot decode frame, no previous sequence header!")
+                    continue
+                payload = np.frombuffer(data, dtype=np.uint8)
+                geo, pic_h, q_idx, ly, lu, lv = self._decode_picture_payload(
+                    pre, payload, hq, start=rd.r.byte_pos)
+                # advance the reader over the slice payload
+                if hq:
+                    from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+                    _, _, _, end = scan_hq_slice_offsets(
+                        payload, geo.n_slices, pre.slice_prefix,
+                        pre.slice_size_scalar, rd.r.byte_pos)
+                else:
+                    compressed = (pre.slice_bytes_numerator * geo.n_slices
+                                  // pre.slice_bytes_denominator)
+                    pb = compressed // 2 if self.hdr.interlace else compressed
+                    end = rd.r.byte_pos + int(layout.slice_bytes_map(
+                        geo.y_slices, geo.x_slices, pb, 1).sum())
+                rd.r.seek(end)
+                self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv, hq)
+            elif du_type in (DataUnitType.HQ_FRAGMENT, DataUnitType.LD_FRAGMENT):
+                hq = du_type == DataUnitType.HQ_FRAGMENT
+                picnum = rd.read_picture_number()
+                frag = rd.read_fragment_header()
+                if frag.n_slices == 0:
+                    pre = rd.read_preamble(hq)
+                    if self.hdr is None:
+                        self.log("Cannot decode frame, no previous sequence header!")
+                        continue
+                    self.frags[picnum] = _FragState(preamble=pre,
+                                                    payload_parts={})
+                else:
+                    body = rd.r.get_raw(frag.data_length)
+                    st = self.frags.get(picnum)
+                    if st is None:
+                        self.log("Cannot decode slices as no picture header yet "
+                                 f"read for picture number {picnum}")
+                        continue
+                    first = (frag.slice_offset_y * st.preamble.slices_x
+                             + frag.slice_offset_x)
+                    st.payload_parts[first] = body
+                    st.slices_decoded += frag.n_slices
+                    needed = st.preamble.slices_x * st.preamble.slices_y
+                    if st.slices_decoded >= needed:
+                        payload = b"".join(p for _, p in
+                                           sorted(st.payload_parts.items()))
+                        arr = np.frombuffer(payload, dtype=np.uint8)
+                        geo, pic_h, q_idx, ly, lu, lv = \
+                            self._decode_picture_payload(st.preamble, arr, hq)
+                        self._finish_picture(st.preamble, geo, pic_h, q_idx,
+                                             ly, lu, lv, hq)
+                        del self.frags[picnum]
+            else:
+                continue
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    data = (sys.stdin.buffer.read() if args.inFile == "-"
+            else open(args.inFile, "rb").read())
+    sink = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
+    dec = Decoder(output=DecOutput(args.output), verbose=args.verbose, sink=sink)
+    try:
+        rc = dec.run(data)
+    except Exception as exc:
+        print(f"Error: {exc}")
+        return 1
+    if args.outFile != "-":
+        sink.close()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

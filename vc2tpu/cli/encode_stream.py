@@ -1,0 +1,232 @@
+"""EncodeStream-compatible CLI.
+
+Flag surface mirrors /root/reference/src/EncodeStream/EncodeParams.cpp:80-107
+so reference command lines work with the TPU encoder, including the seven
+tap outputs (Transform / Quantised / Indices / Packaged / Stream / Decoded /
+PSNR — reference EncodeStream.cpp:486-767).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+from vc2tpu.core import intmath
+from vc2tpu.core.config import (ColourFormat, EncOutput, EncoderConfig, FrameRate,
+                                Mode, PictureGeometry, Profile, WaveletKernel)
+from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
+from vc2tpu.core.planario import PlanarReader, SampleFormat, encode_plane, write_picture
+from vc2tpu.pipeline.encoder import Encoder
+from vc2tpu.pipeline import ld as ld_pipeline
+from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+from vc2tpu.stream.headers import SequenceHeader
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vc2tpu-encode",
+        description="Encodes an uncompressed planar video file with the "
+                    "TPU-native VC-2 encoder")
+    p.add_argument("inFile")
+    p.add_argument("outFile")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-m", "--mode", required=True,
+                   choices=[m.value for m in Mode])
+    p.add_argument("-o", "--output", default="Stream",
+                   choices=[o.value for o in EncOutput])
+    p.add_argument("-a", "--hSlice", type=int, required=True)
+    p.add_argument("-u", "--vSlice", type=int, required=True)
+    p.add_argument("-d", "--waveletDepth", type=int, required=True)
+    p.add_argument("-k", "--kernel", required=True,
+                   choices=[k.name for k in WaveletKernel if k.name != "NullKernel"]
+                   + ["NullKernel"])
+    p.add_argument("-b", "--bottomFieldFirst", action="store_true")
+    p.add_argument("-t", "--topFieldFirst", action="store_true")
+    p.add_argument("-i", "--interlace", action="store_true")
+    p.add_argument("-p", "--progressive", action="store_true")
+    p.add_argument("-c", "--chromaDepth", type=int, default=0)
+    p.add_argument("-l", "--lumaDepth", type=int, default=0)
+    p.add_argument("-z", "--bitDepth", type=int, default=0)
+    p.add_argument("-n", "--bytes", type=int, default=2)
+    p.add_argument("-f", "--format", required=True,
+                   choices=["4:4:4", "4:2:2", "4:2:0"])
+    p.add_argument("-x", "--width", type=int, required=True)
+    p.add_argument("-y", "--height", type=int, required=True)
+    p.add_argument("-r", "--framerate", type=int, default=3)
+    p.add_argument("-S", "--scalar", type=int, default=1)
+    p.add_argument("-P", "--prefix", type=int, default=0)
+    p.add_argument("-F", "--fragmentLength", type=int, default=0)
+    p.add_argument("-s", "--compressedBytes", type=int, default=0)
+    p.add_argument("-q", "--quantIndex", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> EncoderConfig:
+    bit_depth = args.bitDepth or 8 * args.bytes
+    luma_depth = args.lumaDepth or bit_depth
+    chroma_depth = args.chromaDepth or luma_depth
+    return EncoderConfig(
+        height=args.height, width=args.width,
+        chroma_format=ColourFormat.parse(args.format),
+        kernel=WaveletKernel.parse(args.kernel),
+        wavelet_depth=args.waveletDepth,
+        y_size=args.vSlice, x_size=args.hSlice,
+        mode=Mode(args.mode), bytes_per_sample=args.bytes,
+        luma_depth=luma_depth, chroma_depth=chroma_depth,
+        interlaced=args.interlace, top_field_first=not args.bottomFieldFirst,
+        frame_rate=FrameRate(args.framerate),
+        slice_scalar=args.scalar, slice_prefix=args.prefix,
+        fragment_length=args.fragmentLength,
+        compressed_bytes=args.compressedBytes, q_index=args.quantIndex,
+    )
+
+
+def _psnr(orig: np.ndarray, dec: np.ndarray, depth: int, pixels: int) -> float:
+    d = orig.astype(np.int64) - dec.astype(np.int64)
+    ss = int((d * d).sum())
+    rms = math.sqrt(ss / float(pixels)) / (1 << depth)
+    return -20.0 * math.log10(rms) if rms > 0 else float("inf")
+
+
+def run(args) -> int:
+    cfg = config_from_args(args)
+    output = EncOutput(args.output)
+    verbose = args.verbose
+    geometry = cfg.geometry
+    luma_fmt = SampleFormat(word_width=cfg.bytes_per_sample,
+                            bit_depth=cfg.luma_depth, offset=True)
+    chroma_fmt = SampleFormat(word_width=cfg.bytes_per_sample,
+                              bit_depth=cfg.chroma_depth, offset=True)
+
+    infile = sys.stdin.buffer if args.inFile == "-" else open(args.inFile, "rb")
+    outfile = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
+    reader = PlanarReader(infile, geometry, luma_fmt, chroma_fmt)
+
+    if cfg.mode == Mode.LD:
+        encoder = ld_pipeline.LDEncoder(cfg)
+    else:
+        encoder = Encoder(cfg)
+    geo = encoder.geo
+    frame_pics = 2 if cfg.interlaced else 1
+    picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
+                     else cfg.compressed_bytes)
+
+    writer = StreamWriter(outfile)
+    writer.fragment_length = (cfg.fragment_length
+                              if cfg.mode in (Mode.HQ_CBR, Mode.LD) else 0)
+    if output == EncOutput.STREAM:
+        writer.start_sequence()
+        profile = Profile.PROFILE_LD if cfg.mode == Mode.LD else Profile.PROFILE_HQ
+        writer.write_sequence_header(SequenceHeader(
+            profile=profile, height=geometry.luma_height,
+            width=geometry.luma_width, chroma_format=cfg.chroma_format,
+            interlace=cfg.interlaced, frame_rate=cfg.frame_rate,
+            top_field_first=cfg.top_field_first, bitdepth=cfg.luma_depth))
+
+    frame = 0
+    keep_planes = output in (EncOutput.TRANSFORM, EncOutput.QUANTISED,
+                             EncOutput.DECODED, EncOutput.PSNR)
+    sig_fmt = SampleFormat(word_width=4, signed=True, offset=False)
+    while True:
+        in_frame = reader.read_frame()
+        if in_frame is None:
+            if frame == 0:
+                print("Failed to read input frame number 0", file=sys.stderr)
+                return 1
+            break
+        if verbose:
+            print(f"frame {frame}", file=sys.stderr)
+        decoded_fields = []
+        frame_q_indices = []
+        for pic_i in range(frame_pics):
+            if cfg.interlaced:
+                picture = (in_frame.first_field(cfg.top_field_first) if pic_i == 0
+                           else in_frame.second_field(cfg.top_field_first))
+            else:
+                picture = in_frame
+            enc = encoder.encode_picture(picture, keep_planes=keep_planes)
+            frame_q_indices.append(enc.q_indices.ravel())
+            if output == EncOutput.TRANSFORM:
+                write_picture(outfile, enc.transform, sig_fmt)
+                continue
+            if output == EncOutput.INDICES:
+                outfile.write(enc.q_indices.astype(np.uint8).tobytes())
+                continue
+            if output == EncOutput.QUANTISED:
+                write_picture(outfile, enc.quantised, sig_fmt)
+                continue
+            if output == EncOutput.PACKAGED:
+                outfile.write(enc.payload)
+                continue
+            if output == EncOutput.STREAM:
+                picture_number = intmath.picture_number(pic_i, frame, frame_pics)
+                pre = PicturePreamble(
+                    wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+                    slices_x=geo.x_slices, slices_y=geo.y_slices,
+                    slice_prefix=cfg.slice_prefix,
+                    slice_size_scalar=cfg.slice_scalar)
+                if cfg.mode == Mode.LD:
+                    num, den = intmath.rationalise(picture_bytes, geo.n_slices)
+                    pre.slice_bytes_numerator = num
+                    pre.slice_bytes_denominator = den
+                writer.write_picture(picture_number, pre, enc.payload,
+                                     hq=cfg.mode != Mode.LD,
+                                     slice_sizes=enc.slice_totals)
+                continue
+            # DECODED / PSNR: in-process decode
+            pic_geom = PictureGeometry.of(
+                geometry.luma_height // frame_pics, geometry.luma_width,
+                cfg.chroma_format)
+            dec = encoder.decode_inprocess(enc, pic_geom)
+            dec = signal_clip(dec, cfg.luma_depth, cfg.chroma_depth)
+            decoded_fields.append(dec)
+        if output in (EncOutput.DECODED, EncOutput.PSNR):
+            if cfg.interlaced:
+                out_frame = interleave_fields(decoded_fields[0], decoded_fields[1],
+                                              cfg.top_field_first)
+            else:
+                out_frame = decoded_fields[0]
+            ypsnr = _psnr(np.asarray(in_frame.y), np.asarray(out_frame.y),
+                          cfg.luma_depth, cfg.width * cfg.height)
+            upsnr = _psnr(np.asarray(in_frame.c1), np.asarray(out_frame.c1),
+                          cfg.chroma_depth,
+                          geometry.chroma_width * geometry.chroma_height)
+            vpsnr = _psnr(np.asarray(in_frame.c2), np.asarray(out_frame.c2),
+                          cfg.chroma_depth,
+                          geometry.chroma_width * geometry.chroma_height)
+            if output == EncOutput.DECODED:
+                write_picture(outfile, out_frame, luma_fmt, chroma_fmt)
+            else:
+                outfile.write(f"Frame {frame}\n".encode())
+                qi = np.concatenate(frame_q_indices).astype(np.float64)
+                mean = float(qi.mean())
+                std = float(np.sqrt((qi * qi).mean() - mean * mean))
+                outfile.write(f"{mean:.2f} {std:.2f}\n".encode())
+                outfile.write(f"{ypsnr:.4f} {upsnr:.4f} {vpsnr:.4f}\n".encode())
+            if verbose:
+                print(f"PSNR Y/U/V = {ypsnr:.4f} {upsnr:.4f} {vpsnr:.4f}",
+                      file=sys.stderr)
+        frame += 1
+    if output == EncOutput.STREAM:
+        writer.end_sequence()
+    if args.inFile != "-":
+        infile.close()
+    if args.outFile != "-":
+        outfile.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return run(args)
+    except Exception as exc:  # mirror reference's catch-all (EncodeStream.cpp:782)
+        print(f"Error: {exc}")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""LD-profile encoder/decoder glue.
+
+The LD (Low Delay, obsolete) profile couples every slice through LL-subband
+DC prediction, a strict raster recurrence (reference Quantisation.cpp:
+191-306). The DWT/IDWT still run on the TPU; the recurrence (rate control +
+predictive quantisation) runs in the native host module in one pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vc2tpu.core.config import EncoderConfig, PictureGeometry
+from vc2tpu.core.picture import Picture
+from vc2tpu.pipeline.encoder import EncodedPicture, slice_geometry
+from vc2tpu.slices import layout
+from vc2tpu.slices.ld import encode_ld_slices
+from vc2tpu.wavelet import lifting, matrices
+from vc2tpu._native.bridge import native
+
+
+def _qm_block(slice_h: int, slice_w: int, depth: int, qmatrix) -> np.ndarray:
+    """Per-position quant-matrix values of a slice block, row-major
+    (the analogue of SliceQuantiserRef's expanded qMatrix,
+    reference EncodeStream.cpp:159-171)."""
+    perm, band = layout.lane_order(slice_h, slice_w, depth)
+    out = np.zeros(slice_h * slice_w, dtype=np.int32)
+    out[perm] = qmatrix[band]
+    return out
+
+
+class LDEncoder:
+    def __init__(self, cfg: EncoderConfig):
+        if native is None:
+            raise RuntimeError("LD mode requires the native host codec "
+                               "(build vc2tpu/_native)")
+        cfg.validate()
+        self.cfg = cfg
+        self.geo = slice_geometry(cfg)
+        self.qmatrix = matrices.quant_matrix(cfg.kernel, cfg.wavelet_depth)
+        d = cfg.wavelet_depth
+        self.qm_block_y = _qm_block(*self.geo.luma_slice, d, self.qmatrix)
+        self.qm_block_c = _qm_block(*self.geo.chroma_slice, d, self.qmatrix)
+        self.perm_y, _ = layout.lane_order(*self.geo.luma_slice, d)
+        self.perm_c, _ = layout.lane_order(*self.geo.chroma_slice, d)
+        self.picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
+                              else cfg.compressed_bytes)
+        self.slice_budgets = layout.slice_bytes_map(
+            self.geo.y_slices, self.geo.x_slices, self.picture_bytes, 1)
+
+        def dwt(y, c1, c2):
+            return (lifting.forward_plane(lifting.wavelet_pad(y, d), cfg.kernel, d),
+                    lifting.forward_plane(lifting.wavelet_pad(c1, d), cfg.kernel, d),
+                    lifting.forward_plane(lifting.wavelet_pad(c2, d), cfg.kernel, d))
+
+        self._dwt = jax.jit(dwt)
+
+    def encode_picture(self, picture: Picture, keep_planes: bool = False,
+                       ) -> EncodedPicture:
+        cfg = self.cfg
+        geo = self.geo
+        ty, tu, tv = self._dwt(jnp.asarray(picture.y, jnp.int32),
+                               jnp.asarray(picture.c1, jnp.int32),
+                               jnp.asarray(picture.c2, jnp.int32))
+        ty, tu, tv = (np.ascontiguousarray(np.asarray(a)) for a in (ty, tu, tv))
+        H, W = geo.padded_luma
+        CH, CW = geo.padded_chroma
+        n = geo.n_slices
+        q_out = np.zeros(n, dtype=np.int32)
+        qy = np.zeros((H, W), dtype=np.int32)
+        qu = np.zeros((CH, CW), dtype=np.int32)
+        qv = np.zeros((CH, CW), dtype=np.int32)
+        native.ld_encode(ty, tu, tv, (H, W, CH, CW),
+                         (geo.y_slices, geo.x_slices), 1 << cfg.wavelet_depth,
+                         self.qm_block_y, self.qm_block_c,
+                         self.perm_y, self.perm_c,
+                         self.slice_budgets.ravel(), q_out, qy, qu, qv)
+        lanes_y = layout.plane_to_lanes(qy, geo.y_slices, geo.x_slices,
+                                        cfg.wavelet_depth)
+        lanes_u = layout.plane_to_lanes(qu, geo.y_slices, geo.x_slices,
+                                        cfg.wavelet_depth)
+        lanes_v = layout.plane_to_lanes(qv, geo.y_slices, geo.x_slices,
+                                        cfg.wavelet_depth)
+        payload, totals = encode_ld_slices(q_out, lanes_y, lanes_u, lanes_v,
+                                           self.slice_budgets.ravel())
+        out = EncodedPicture(
+            q_indices=q_out.reshape(geo.y_slices, geo.x_slices),
+            payload=payload, slice_totals=np.asarray(totals))
+        if keep_planes:
+            out.transform = Picture(ty, tu, tv, picture.chroma_format)
+            out.quantised = Picture(qy, qu, qv, picture.chroma_format)
+        return out
+
+    def decode_inprocess(self, enc: EncodedPicture, geometry: PictureGeometry,
+                         ) -> Picture:
+        cfg = self.cfg
+        t = ld_dequantise_picture(enc.quantised, enc.q_indices.ravel(),
+                                  self.qm_block_y, self.qm_block_c,
+                                  self.geo, cfg.wavelet_depth)
+        return lifting.inverse_picture(t, cfg.kernel, cfg.wavelet_depth, geometry)
+
+
+def ld_dequantise_picture(quantised: Picture, q_indices: np.ndarray,
+                          qm_block_y: np.ndarray, qm_block_c: np.ndarray,
+                          geo, depth: int) -> Picture:
+    ts = 1 << depth
+    H, W = quantised.y.shape
+    CH, CW = quantised.c1.shape
+    ty = np.zeros((H, W), dtype=np.int32)
+    tu = np.zeros((CH, CW), dtype=np.int32)
+    tv = np.zeros((CH, CW), dtype=np.int32)
+    native.ld_dequantise_plane(np.asarray(quantised.y), H, W, geo.y_slices,
+                               geo.x_slices, ts, qm_block_y, q_indices, ty)
+    native.ld_dequantise_plane(np.asarray(quantised.c1), CH, CW, geo.y_slices,
+                               geo.x_slices, ts, qm_block_c, q_indices, tu)
+    native.ld_dequantise_plane(np.asarray(quantised.c2), CH, CW, geo.y_slices,
+                               geo.x_slices, ts, qm_block_c, q_indices, tv)
+    return Picture(ty, tu, tv, quantised.chroma_format)

@@ -1,0 +1,140 @@
+"""Dead-zone quantiser / inverse quantiser, fully vectorised.
+
+Bit-exact re-implementation of the reference scalar functions
+(/root/reference/src/Library/src/Quantisation.cpp:16-95):
+
+* ``quant(v, q)  = sign(v) * ((|v| << 2) / quant_factor(q))``
+* ``scale(v, q)  = sign(v) * ((|v| * quant_factor(q) [+offset] + 2) / 4)``
+* ``adjust(qIndex, qMatrix) = max(qIndex - qMatrix, 0)``
+
+with C truncating division and int32 wrap-around (the reference's
+``value *= quant_factor(q)`` wraps int32 for extreme values).
+
+The quant_factor table is the 120-entry VC-2 standard table
+(Quantisation.cpp:40-66); it is *data* from SMPTE ST 2042-1 (approximately
+round(2^(q/4+2)) but with standard-specified low bits at high q, so it must
+be tabulated, not derived). Indices above 119 raise in the reference; on
+device we clamp the lookup and flag overflow host-side.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# VC-2 quantisation factor table, quant_factor(q) for q in [0, 119]
+# (SMPTE ST 2042-1; reference Quantisation.cpp:42-59).
+QUANT_FACTORS = np.array([
+    0x000000004, 0x000000005, 0x000000006, 0x000000007, 0x000000008, 0x00000000A, 0x00000000B, 0x00000000D,
+    0x000000010, 0x000000013, 0x000000017, 0x00000001B, 0x000000020, 0x000000026, 0x00000002D, 0x000000036,
+    0x000000040, 0x00000004C, 0x00000005B, 0x00000006C, 0x000000080, 0x000000098, 0x0000000B5, 0x0000000D7,
+    0x000000100, 0x000000130, 0x00000016A, 0x0000001AF, 0x000000200, 0x000000261, 0x0000002D4, 0x00000035D,
+    0x000000400, 0x0000004C2, 0x0000005A8, 0x0000006BA, 0x000000800, 0x000000983, 0x000000B50, 0x000000D74,
+    0x000001000, 0x000001307, 0x0000016A1, 0x000001AE9, 0x000002000, 0x00000260E, 0x000002D41, 0x0000035D1,
+    0x000004000, 0x000004C1C, 0x000005A82, 0x000006BA2, 0x000008000, 0x000009838, 0x00000B505, 0x00000D745,
+    0x000010000, 0x000013070, 0x000016A0A, 0x00001AE8A, 0x000020000, 0x0000260E0, 0x00002D414, 0x000035D14,
+    0x000040000, 0x00004C1C0, 0x00005A828, 0x00006BA28, 0x000080000, 0x00009837F, 0x0000B504F, 0x0000D7450,
+    0x000100000, 0x0001306FE, 0x00016A09E, 0x0001AE8A0, 0x000200000, 0x000260DFC, 0x0002D413D, 0x00035D13F,
+    0x000400000, 0x0004C1BF8, 0x0005A827A, 0x0006BA27E, 0x000800000, 0x0009837F0, 0x000B504F3, 0x000D744FD,
+    0x001000000, 0x001306FE1, 0x0016A09E6, 0x001AE89FA, 0x002000000, 0x00260DFC1, 0x002D413CD, 0x0035D13F3,
+    0x004000000, 0x004C1BF83, 0x005A8279A, 0x006BA27E6, 0x008000000, 0x009837F05, 0x00B504F33, 0x00D744FCD,
+    0x010000000, 0x01306FE0A, 0x016A09E66, 0x01AE89F99, 0x020000000, 0x0260DFC14, 0x02D413CCD, 0x035D13F33,
+    0x040000000, 0x04C1BF829, 0x05A82799A, 0x06BA27E65, 0x080000000, 0x09837F052, 0x0B504F334, 0x0D744FCCB,
+], dtype=np.int64)
+
+MAX_QINDEX = len(QUANT_FACTORS) - 1  # 119
+
+# int32-wrapped views — the reference casts the uint32 table entries to int,
+# so factors >= 2^31 become negative int32 values (Quantisation.cpp:65).
+QUANT_FACTORS_I32 = QUANT_FACTORS.astype(np.uint32).astype(np.int32)
+
+# quant_offset(q) (reference Quantisation.cpp:78-83), evaluated on the
+# int32-wrapped factor with C truncating division.
+_qf64 = QUANT_FACTORS_I32.astype(np.int64)
+_off = np.where(_qf64 >= 0, (_qf64 + 1) // 2, -((-(_qf64 + 1)) // 2))
+QUANT_OFFSETS = np.where(
+    np.arange(len(QUANT_FACTORS)) == 0, 1,
+    np.where(np.arange(len(QUANT_FACTORS)) == 1, 2, _off),
+).astype(np.int32)
+
+
+def quant_factor(q: int) -> int:
+    if q > MAX_QINDEX:
+        raise ValueError("quantization index exceeds maximum implemented value.")
+    return int(QUANT_FACTORS_I32[max(q, 0)])
+
+
+def quant_offset(q: int) -> int:
+    return int(QUANT_OFFSETS[max(q, 0)])
+
+
+def adjust_quant_index(q_index, q_matrix):
+    """max(qIndex - qMatrix, 0) (reference Quantisation.cpp:16-20)."""
+    return jnp.maximum(q_index - q_matrix, 0)
+
+
+def _trunc_div_i32(a, b):
+    """C truncating division on int32 lanes (int32-only, TPU friendly)."""
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.where((a < 0) ^ (b < 0), -q, q)
+
+
+def quant(values, q_indices):
+    """Element-wise dead-zone quantise; values int32, q_indices same shape or
+    broadcastable. q indices are clamped to the table internally (the caller
+    checks the <=119 domain, as the reference throws there).
+
+    int32 throughout; ``|v| << 2`` wraps exactly as the reference's int does.
+    """
+    v = values.astype(jnp.int32)
+    q = jnp.clip(q_indices, 0, MAX_QINDEX).astype(jnp.int32)
+    qf = jnp.asarray(QUANT_FACTORS_I32)[q]
+    mag = jnp.abs(v) << 2                    # int32 wrap matches C
+    out = _trunc_div_i32(mag, qf)
+    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+
+
+def scale(values, q_indices):
+    """Element-wise inverse quantise (reference Quantisation.cpp:86-95).
+
+    The reference's ``value *= quant_factor(q)`` wraps int32; jnp int32
+    multiplication wraps identically.
+    """
+    v = values.astype(jnp.int32)
+    q = jnp.clip(q_indices, 0, MAX_QINDEX).astype(jnp.int32)
+    qf = jnp.asarray(QUANT_FACTORS_I32)[q]
+    qo = jnp.asarray(QUANT_OFFSETS)[q]
+    mag = jnp.abs(v)
+    prod = mag * qf                          # int32 wrap
+    prod = prod + jnp.where(prod > 0, qo, 0) + 2
+    out = _trunc_div_i32(prod, jnp.int32(4))
+    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+
+
+def signed_vlc_numbits(values):
+    """Bit count of the signed interleaved exp-Golomb code of each value:
+    1 for zero, else 2*bit_length(|v|+1) (reference src/Library/src/VLC.cpp:21-52
+    plus the sign bit at :78-85). Vectorised via smear+popcount."""
+    u = (jnp.abs(values) + 1).astype(jnp.uint32)
+    s = u
+    s = s | (s >> 1)
+    s = s | (s >> 2)
+    s = s | (s >> 4)
+    s = s | (s >> 8)
+    s = s | (s >> 16)
+    bitlen = jnp.asarray(jnp.bitwise_count(s), dtype=jnp.int32)
+    return jnp.where(values == 0, 1, 2 * bitlen)
+
+
+def dc_predict_scalar(restored: np.ndarray, y: int, x: int) -> int:
+    """predictDC (reference Quantisation.cpp:191-208), host scalar."""
+    if y > 0 and x > 0:
+        r = int(restored[y - 1][x - 1]) + int(restored[y - 1][x]) + int(restored[y][x - 1])
+        if r >= 0:
+            return (r + 1) // 3
+        return -((-r + 1) // 3)
+    if y > 0:
+        return int(restored[y - 1][x])
+    if x > 0:
+        return int(restored[y][x - 1])
+    return 0
