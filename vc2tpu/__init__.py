@@ -17,12 +17,27 @@ encoded streams are byte-identical to ``EncodeStream`` for matching
 parameters (see tests/golden).
 """
 
+import os as _os
+
 import jax as _jax
 
 # The codec is exact integer arithmetic; the CBR hill-climb compares 64-bit
 # sums of squared errors (reference EncodeStream.cpp:107-120 accumulates in
 # long long), so 64-bit types must be real. Hot arrays are explicitly int32.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: one geometry compiles once per machine,
+# not once per CLI invocation.
+if not _os.environ.get("VC2TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "vc2tpu-jax"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 from vc2tpu.core.config import (  # noqa: F401
     WaveletKernel,
