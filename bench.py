@@ -1,0 +1,139 @@
+"""Headline benchmark: 1080p HQ decode frames/s, end-to-end (stream bytes ->
+entropy unpack -> dequant + IDWT on device -> planar output bytes).
+
+Prints ONE JSON line:
+  {"metric": "hq_decode_1080p_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 1.58}
+
+Baseline denominator: the reference DecodeStream compiled at -O2 on this host
+decodes the same stream at 1.58 fps (BASELINE.md, measured 2026-08-16).
+Secondary metrics (encode fps, CBR encode fps) go to stderr.
+
+Config matches BASELINE.json config #1 / BASELINE.md: 1920x1080 4:2:2 10-bit,
+HQ ConstQ q=40, LeGall depth 2, 2x2 slice size (reference flags
+`-x 1920 -y 1080 -f 4:2:2 -l 10 -k LeGall -d 2 -u 2 -a 2 -q 40`).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_FRAMES = 16          # frames timed per measurement
+BASELINE_DECODE_FPS = 1.58   # reference DecodeStream, this host (BASELINE.md)
+BASELINE_ENCODE_FPS = 0.87   # reference EncodeStream HQ_ConstQ
+BASELINE_CBR_FPS = 0.146     # reference EncodeStream HQ_CBR
+
+
+def synth_frames(n, h=1080, w=1920, bits=10, seed=7):
+    """Deterministic synthetic video: sinusoid + noise, offset-binary 16p2
+    range, same content family as tests/make_golden.py."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        base = (np.sin(xx / (19.0 + i)) * np.cos(yy / 13.0) + 1.0) / 2.0
+        y = (base * (2 ** bits - 1)).astype(np.int64)
+        y += rng.integers(0, 64, (h, w))
+        y = np.clip(y, 0, 2 ** bits - 1).astype(np.int32)
+        c = rng.integers(0, 2 ** bits, (h, w // 2), dtype=np.int64).astype(np.int32)
+        frames.append((y, c, (c // 2 + 2 ** (bits - 2)).astype(np.int32)))
+    return frames
+
+
+def main() -> int:
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, Profile, WaveletKernel)
+    from vc2tpu.core.picture import Picture
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.cli.decode_stream import Decoder
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    h, w, bits = 1080, 1920, 10
+    cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                        y_size=2, x_size=2, mode=Mode.HQ_ConstQ,
+                        luma_depth=bits, chroma_depth=bits,
+                        frame_rate=FrameRate.FR50, q_index=40)
+    frames = synth_frames(N_FRAMES, h, w, bits)
+    offset = 1 << (bits - 1)
+    pics = [Picture(y.astype(np.int32) - offset, c1 - offset, c2 - offset,
+                    ColourFormat.CF422) for (y, c1, c2) in frames]
+
+    enc = Encoder(cfg)
+    # warm-up compile + one encoded picture for the stream
+    enc.encode_picture(pics[0])
+
+    t0 = time.perf_counter()
+    encoded = [enc.encode_picture(p) for p in pics]
+    enc_fps = len(pics) / (time.perf_counter() - t0)
+
+    buf = io.BytesIO()
+    writer = StreamWriter(buf)
+    writer.start_sequence()
+    writer.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=h, width=w,
+        chroma_format=ColourFormat.CF422, interlace=False,
+        frame_rate=FrameRate.FR50, top_field_first=True, bitdepth=bits))
+    for i, e in enumerate(encoded):
+        writer.write_picture(i, PicturePreamble(
+            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+            slices_x=enc.geo.x_slices, slices_y=enc.geo.y_slices,
+            slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar),
+            e.payload, hq=True, slice_sizes=e.slice_totals)
+    writer.end_sequence()
+    stream = buf.getvalue()
+    print(f"bench: stream {len(stream)} bytes, {len(pics)} frames, "
+          f"encode {enc_fps:.2f} fps (ref {BASELINE_ENCODE_FPS}, "
+          f"{enc_fps / BASELINE_ENCODE_FPS:.1f}x)", file=sys.stderr)
+
+    class NullSink:
+        def write(self, b):
+            self.n = getattr(self, "n", 0) + len(b)
+
+    # warm-up decode (jit compile)
+    dec = Decoder(sink=NullSink())
+    dec.run(stream)
+    assert dec.frames_out == len(pics), (dec.frames_out, len(pics))
+
+    best = 0.0
+    for _ in range(3):
+        dec = Decoder(sink=NullSink())
+        t0 = time.perf_counter()
+        dec.run(stream)
+        dt = time.perf_counter() - t0
+        best = max(best, dec.frames_out / dt)
+    dec_fps = best
+
+    # secondary: CBR encode (rate-control dominated path)
+    cbr_cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
+                            kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                            y_size=2, x_size=2, mode=Mode.HQ_CBR,
+                            luma_depth=bits, chroma_depth=bits,
+                            frame_rate=FrameRate.FR50,
+                            compressed_bytes=829440, slice_scalar=2)
+    cbr = Encoder(cbr_cfg)
+    cbr.encode_picture(pics[0])
+    t0 = time.perf_counter()
+    for p in pics[:8]:
+        cbr.encode_picture(p)
+    cbr_fps = 8 / (time.perf_counter() - t0)
+    print(f"bench: CBR encode {cbr_fps:.2f} fps (ref {BASELINE_CBR_FPS}, "
+          f"{cbr_fps / BASELINE_CBR_FPS:.0f}x)   decode {dec_fps:.2f} fps "
+          f"(ref {BASELINE_DECODE_FPS}, {dec_fps / BASELINE_DECODE_FPS:.1f}x)",
+          file=sys.stderr)
+
+    print(json.dumps({"metric": "hq_decode_1080p_fps",
+                      "value": round(dec_fps, 3), "unit": "frames/s",
+                      "vs_baseline": round(dec_fps / BASELINE_DECODE_FPS, 3)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
