@@ -38,6 +38,23 @@ class _Native:
             i64, i64,
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.unpack_streams_i16.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+        ]
+        lib.unpack_streams_i16.restype = ctypes.c_int
+        lib.scan_hq_offsets.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64, i64, i64, i64, i64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.scan_hq_offsets.restype = i64
         lib.encode_lanes.argtypes = [
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             i64,
@@ -71,6 +88,20 @@ class _Native:
             np.ascontiguousarray(bounds, np.int64),
             int(S), int(n_lanes), out)
 
+    def unpack_streams_i16(self, payload, buflen, starts, bounds, S, n_lanes,
+                           out):
+        return self._lib.unpack_streams_i16(
+            np.ascontiguousarray(payload, np.uint8), int(buflen),
+            np.ascontiguousarray(starts, np.int64),
+            np.ascontiguousarray(bounds, np.int64),
+            int(S), int(n_lanes), out)
+
+    def scan_hq_offsets(self, payload, n, prefix, scalar, start, q, dstart,
+                        cbytes):
+        return self._lib.scan_hq_offsets(
+            np.ascontiguousarray(payload, np.uint8), payload.size,
+            int(n), int(prefix), int(scalar), int(start), q, dstart, cbytes)
+
     def encode_lanes(self, lanes, codes, nbits):
         flat = np.ascontiguousarray(lanes, np.int32).ravel()
         self._lib.encode_lanes(flat, flat.size, codes, nbits)
@@ -102,16 +133,17 @@ def _build() -> str | None:
         return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    base = ["-O3", "-shared", "-fPIC", "-std=c++14", _SRC, "-o", _SO]
     for cxx in (os.environ.get("CXX"), "g++", "c++", "clang++"):
         if not cxx:
             continue
-        try:
-            subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-std=c++14", _SRC, "-o", _SO],
-                check=True, capture_output=True)
-            return _SO
-        except (OSError, subprocess.CalledProcessError):
-            continue
+        for extra in (["-march=native"], []):
+            try:
+                subprocess.run([cxx] + extra + base, check=True,
+                               capture_output=True)
+                return _SO
+            except (OSError, subprocess.CalledProcessError):
+                continue
     return None
 
 

@@ -12,6 +12,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
 #if defined(_MSC_VER)
 #define EXPORT extern "C" __declspec(dllexport)
 #else
@@ -66,8 +70,43 @@ static inline int get_bit(const uint8_t* buf, int64_t buflen, int64_t bitpos) {
   return (buf[byte] >> (7 - (bitpos & 7))) & 1;
 }
 
+// 64 bits of the big-endian bit stream starting at absolute bit `abs_pos`,
+// with every bit at or past the bound (bits_left from abs_pos) and every
+// byte past the buffer end reading as 1 — the bounded-region rule
+// (reference VLC.cpp:182-185).
+static inline uint64_t peek64(const uint8_t* buf, int64_t buflen,
+                              int64_t abs_pos, int64_t bits_left) {
+  const int64_t byte = abs_pos >> 3;
+  const int shift = static_cast<int>(abs_pos & 7);
+  uint64_t w;
+  if (byte + 9 <= buflen) {
+    uint64_t a;
+    std::memcpy(&a, buf + byte, 8);
+    a = bswap64(a);
+    w = a << shift;
+    if (shift) w |= static_cast<uint64_t>(buf[byte + 8]) >> (8 - shift);
+  } else {
+    uint64_t a = 0;
+    for (int i = 0; i < 8; ++i)
+      a = (a << 8) | ((byte + i < buflen) ? buf[byte + i] : 0xFFu);
+    w = a << shift;
+    if (shift) {
+      const uint64_t b = (byte + 8 < buflen) ? buf[byte + 8] : 0xFFu;
+      w |= b >> (8 - shift);
+    }
+  }
+  if (bits_left < 64) w |= (bits_left <= 0) ? ~0ull : (~0ull >> bits_left);
+  return w;
+}
+
 // Decode S bounded exp-Golomb streams of n_lanes signed values each.
 // start[s] is the absolute first bit, bound[s] the region length in bits.
+//
+// Fast path: load a 64-bit window; the interleaved code's follow bits sit at
+// even offsets (mask 0xAA..), so count-leading-zeros of the masked window
+// gives the code length directly and the data bits (odd offsets) extract
+// with PEXT / a short shift loop. One window decodes one whole code
+// (magnitude <= 2^30 spans <= 64 bits) instead of one bit per call.
 EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
                            const int64_t* start, const int64_t* bound,
                            int64_t S, int64_t n_lanes, int32_t* out) {
@@ -82,26 +121,128 @@ EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
         for (; lane < n_lanes; ++lane) row[lane] = 0;
         break;
       }
-      // decodeUnsignedVLC loop (reference VLC.cpp:283-295)
-      uint32_t value = 1;
-      for (;;) {
-        int b = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
-        ++pos;
-        if (b) break;
-        int d = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
-        ++pos;
-        value = (value << 1) | static_cast<uint32_t>(d);
+      const uint64_t w = peek64(buf, buflen, base + pos, lim - pos);
+      const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
+      if (follow == 0) {
+        // > 2^32 magnitude (corrupt stream): bit-serial fallback for this value
+        uint32_t value = 1;
+        for (;;) {
+          int b = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+          ++pos;
+          if (b) break;
+          int d = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+          ++pos;
+          value = (value << 1) | static_cast<uint32_t>(d);
+        }
+        int32_t v = static_cast<int32_t>(value - 1);
+        if (v != 0) {
+          int sign = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
+          ++pos;
+          if (sign) v = -v;
+        }
+        row[lane++] = v;
+        continue;
       }
-      value -= 1;
-      int32_t v = static_cast<int32_t>(value);
+      const int j = __builtin_clzll(follow) >> 1;  // zero follow bits
+      int consumed = 2 * j + 1;
+      uint32_t mag = 0;
+      if (j > 0) {
+#if defined(__BMI2__)
+        const uint32_t data =
+            static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
+        mag = ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+        uint32_t data = 0;
+        for (int t = 0; t < j; ++t)
+          data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
+        mag = ((1u << j) | data) - 1u;
+#endif
+      }
+      int32_t v = static_cast<int32_t>(mag);
       if (v != 0) {
-        int sign = (pos < lim) ? get_bit(buf, buflen, base + pos) : 1;
-        ++pos;
-        if (sign) v = -v;
+        if (w >> (63 - consumed) & 1) v = -v;  // sign bit at offset 2j+1
+        ++consumed;
       }
       row[lane++] = v;
+      pos += consumed;
     }
   }
+}
+
+// unpack_streams variant writing int16 lanes (halves the host->device copy).
+// Returns 1 if any magnitude exceeded int16 range (caller falls back to the
+// int32 path to preserve bit-exactness), else 0.
+EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
+                              const int64_t* start, const int64_t* bound,
+                              int64_t S, int64_t n_lanes, int16_t* out) {
+  int overflow = 0;
+  for (int64_t s = 0; s < S; ++s) {
+    int64_t pos = 0;
+    const int64_t lim = bound[s];
+    const int64_t base = start[s];
+    int16_t* row = out + s * n_lanes;
+    int64_t lane = 0;
+    while (lane < n_lanes) {
+      if (pos >= lim) {
+        for (; lane < n_lanes; ++lane) row[lane] = 0;
+        break;
+      }
+      const uint64_t w = peek64(buf, buflen, base + pos, lim - pos);
+      const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
+      if (follow == 0) { overflow = 1; row[lane++] = 0; pos = lim; continue; }
+      const int j = __builtin_clzll(follow) >> 1;
+      int consumed = 2 * j + 1;
+      uint32_t mag = 0;
+      if (j > 0) {
+#if defined(__BMI2__)
+        const uint32_t data =
+            static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
+        mag = ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+        uint32_t data = 0;
+        for (int t = 0; t < j; ++t)
+          data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
+        mag = ((1u << j) | data) - 1u;
+#endif
+      }
+      if (mag > 32767u) overflow = 1;
+      int32_t v = static_cast<int32_t>(mag);
+      if (v != 0) {
+        if (w >> (63 - consumed) & 1) v = -v;
+        ++consumed;
+      }
+      row[lane++] = static_cast<int16_t>(v);
+      pos += consumed;
+    }
+  }
+  return overflow;
+}
+
+// Walk the self-describing HQ (VBR-layout) slice chain: per slice `prefix`
+// zero bytes, 1-byte qIndex, then 3 x {1-byte length/scalar, data}
+// (reference Slices.cpp:384-467). Fills q[N], dstart[3*N], cbytes[3*N]
+// (component-major) and returns the end offset, or -1 if the chain runs past
+// the payload.
+EXPORT int64_t scan_hq_offsets(const uint8_t* payload, int64_t paylen,
+                               int64_t n, int64_t prefix, int64_t scalar,
+                               int64_t start, int32_t* q, int64_t* dstart,
+                               int64_t* cbytes) {
+  int64_t pos = start;
+  for (int64_t i = 0; i < n; ++i) {
+    pos += prefix;
+    if (pos >= paylen) return -1;
+    q[i] = payload[pos];
+    ++pos;
+    for (int c = 0; c < 3; ++c) {
+      if (pos >= paylen) return -1;
+      const int64_t size = static_cast<int64_t>(payload[pos]) * scalar;
+      ++pos;
+      dstart[c * n + i] = pos;
+      cbytes[c * n + i] = size;
+      pos += size;
+    }
+  }
+  return pos;
 }
 
 // Generate the interleaved exp-Golomb (signed) code word + bit length for

@@ -18,7 +18,7 @@ from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
                                 WaveletKernel)
 from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
 from vc2tpu.core.planario import SampleFormat, write_picture
-from vc2tpu.pipeline.decoder import synthesise_lanes
+from vc2tpu.pipeline.decoder import synthesise_lanes, synthesise_to_words
 from vc2tpu.pipeline.encoder import SliceGeometry
 from vc2tpu.pipeline import ld as ld_pipeline
 from vc2tpu.slices import layout
@@ -71,10 +71,63 @@ class Decoder:
         self.first_field = None
         self.frags: dict[int, _FragState] = {}
         self.frames_out = 0
+        self._pending = None          # device words buffer not yet written
+        self._first_words = None      # formatted first field (interlace)
+        self._combined = None         # combined coefficient buffer (HQ)
 
     def log(self, msg):
         if self.verbose:
             print(msg, file=sys.stderr)
+
+    # --- pipelined output: device->host copy overlaps next picture's host
+    # work; every write flushes the previous frame first to keep byte order ---
+
+    def _flush(self):
+        if self._pending is not None:
+            buf = np.asarray(self._pending)
+            self._pending = None
+            self.sink.write(buf.tobytes())
+            self.frames_out += 1
+
+    def _write(self, data: bytes):
+        self._flush()
+        self.sink.write(data)
+
+    def _emit_words(self, words):
+        """Fast decoded-output path: ``words`` is the device buffer of
+        formatted output samples for one progressive frame or one field."""
+        hdr = self.hdr
+        if hdr.interlace:
+            if self.pic == 0:
+                self._first_words = words
+                self.pic = 1
+                return
+            self.pic = 0
+            first = np.asarray(self._first_words)
+            second = np.asarray(words)
+            self._first_words = None
+            top, bottom = ((first, second) if hdr.top_field_first
+                           else (second, first))
+            g = PictureGeometry.of(hdr.height // 2, hdr.width,
+                                   hdr.chroma_format)
+            sizes = (g.luma_height * g.luma_width,
+                     g.chroma_height * g.chroma_width,
+                     g.chroma_height * g.chroma_width)
+            widths = (g.luma_width, g.chroma_width, g.chroma_width)
+            parts = []
+            off = 0
+            for n, w in zip(sizes, widths):
+                t = top[off:off + n].reshape(-1, w)
+                b = bottom[off:off + n].reshape(-1, w)
+                parts.append(np.stack([t, b], axis=1).reshape(-1))
+                off += n
+            self._write(np.concatenate(parts).tobytes())
+            self.frame += 1
+            self.frames_out += 1
+            return
+        self._flush()
+        self._pending = words
+        self.frame += 1
 
     # --- picture decode core (shared by whole pictures and fragments) ---
 
@@ -82,6 +135,7 @@ class Decoder:
                                 start: int = 0):
         hdr = self.hdr
         depth = pre.depth
+        self._combined = None
         pic_h, padded_h, padded_w = _geometry(hdr, depth)
         from vc2tpu.core.config import chroma_dims
 
@@ -97,6 +151,7 @@ class Decoder:
                                     pre.slice_size_scalar, (Ly, Lc, Lc),
                                     start=start)
             q_idx, (ly, lu, lv) = data.q_indices, data.lanes
+            self._combined = data.combined
         else:
             compressed = (pre.slice_bytes_numerator * ys * xs
                           // pre.slice_bytes_denominator)
@@ -133,9 +188,16 @@ class Decoder:
                                        dequant_only=True)
                 write_picture(self.sink, pic, sig_fmt)
                 return
-            picture = synthesise_lanes(ly, lu, lv, q_idx, qmatrix,
-                                       pre.wavelet_kernel, pre.depth, geo,
-                                       out_geom, hdr.chroma_format)
+            # DECODED: fused device tail (dequant+IDWT+clip+format), async,
+            # fed by ONE host->device copy of the combined coefficient buffer
+            combined = self._combined
+            if combined is None:
+                combined = np.concatenate(
+                    [np.asarray(a).ravel() for a in (ly, lu, lv)]).astype(np.int32)
+            self._emit_words(synthesise_to_words(
+                combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
+                geo, out_geom, hdr.bitdepth))
+            return
         else:
             quantised = Picture(
                 layout.lanes_to_plane(ly, geo.y_slices, geo.x_slices,
@@ -176,6 +238,7 @@ class Decoder:
         out_frame = signal_clip(out_frame, hdr.bitdepth, hdr.bitdepth)
         word = 1 if hdr.bitdepth == 8 else 2
         fmt = SampleFormat(word_width=word, bit_depth=hdr.bitdepth, offset=True)
+        self._flush()
         write_picture(self.sink, out_frame, fmt)
         self.frame += 1
         self.frames_out += 1
@@ -189,6 +252,7 @@ class Decoder:
         rd.r.seek(rd.r.byte_pos - 4)
         while True:
             if rd.eof():
+                self._flush()
                 self.log("End of data stream reached successfully, exiting.")
                 return 0
             du_type, next_off, _prev = rd.read_data_unit()

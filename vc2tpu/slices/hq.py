@@ -25,11 +25,17 @@ from vc2tpu._native.bridge import native
 
 @dataclasses.dataclass
 class HQSliceData:
-    """Decoded HQ slice grid: qIndices plus per-component lane arrays."""
+    """Decoded HQ slice grid: qIndices plus per-component lane arrays.
+
+    ``combined`` (when set) is ONE flat buffer [y lanes | c1 lanes | c2 lanes]
+    (int16 normally, int32 if a coefficient overflowed int16) so the whole
+    coefficient payload moves to the device in a single small transfer; the
+    per-component ``lanes`` views alias it."""
 
     q_indices: np.ndarray           # int32 [N]
-    lanes: tuple                    # (y, c1, c2) int32 [N, L_comp]
+    lanes: tuple                    # (y, c1, c2) [N, L_comp]
     total_bytes: int = 0
+    combined: np.ndarray | None = None
 
 
 def _bits_used(lanes: np.ndarray) -> np.ndarray:
@@ -140,6 +146,15 @@ def scan_hq_slice_offsets(payload: np.ndarray, n_slices: int, prefix: int,
     q = np.zeros(n_slices, dtype=np.int32)
     dstart = np.zeros((3, n_slices), dtype=np.int64)
     cbytes = np.zeros((3, n_slices), dtype=np.int64)
+    if native is not None:
+        payload = np.ascontiguousarray(payload, np.uint8)
+        end = native.scan_hq_offsets(payload, n_slices, prefix, scalar, start,
+                                     q, dstart.ravel(), cbytes.ravel())
+        if end < 0:
+            raise ValueError("slice payload runs past the end of the data unit")
+        dstart = dstart.reshape(3, n_slices)
+        cbytes = cbytes.reshape(3, n_slices)
+        return q, dstart, cbytes, int(end)
     pos = start
     for i in range(n_slices):
         pos += prefix
@@ -171,8 +186,29 @@ def decode_hq_slices(payload: np.ndarray, n_slices: int, prefix: int,
         expect = sizes - 4 - cbytes[0] - cbytes[1]
         if (cbytes[2] != expect).any():
             raise ValueError("SliceIO, HQ CBR mode: Wrong number of bytes for a slice")
+    if native is not None:
+        payload = np.ascontiguousarray(payload, np.uint8)
+        sizes = [n_slices * lc for lc in lane_counts]
+        combined = np.empty(sum(sizes), dtype=np.int16)
+        splits = np.cumsum([0] + sizes)
+        overflow = 0
+        for c in range(3):
+            view = combined[splits[c]:splits[c + 1]].reshape(n_slices,
+                                                             lane_counts[c])
+            overflow |= native.unpack_streams_i16(
+                payload, len(payload), dstart[c] * 8, cbytes[c] * 8,
+                n_slices, lane_counts[c], view)
+        if not overflow:
+            lanes = tuple(
+                combined[splits[c]:splits[c + 1]].reshape(n_slices,
+                                                          lane_counts[c])
+                for c in range(3))
+            return HQSliceData(q_indices=q, lanes=lanes,
+                               total_bytes=end - start, combined=combined)
     lanes = []
     for c in range(3):
         lanes.append(unpack_signed_streams(payload, dstart[c] * 8,
                                            cbytes[c] * 8, lane_counts[c]))
-    return HQSliceData(q_indices=q, lanes=tuple(lanes), total_bytes=end - start)
+    combined = np.concatenate([l.ravel() for l in lanes]).astype(np.int32)
+    return HQSliceData(q_indices=q, lanes=tuple(lanes),
+                       total_bytes=end - start, combined=combined)
