@@ -71,7 +71,8 @@ def main() -> int:
     enc.encode_picture(pics[0])
 
     t0 = time.perf_counter()
-    encoded = [enc.encode_picture(p) for p in pics]
+    handles = [enc.encode_picture_async(p) for p in pics]
+    encoded = [h() for h in handles]
     enc_fps = len(pics) / (time.perf_counter() - t0)
 
     buf = io.BytesIO()
@@ -121,8 +122,8 @@ def main() -> int:
     cbr = Encoder(cbr_cfg)
     cbr.encode_picture(pics[0])
     t0 = time.perf_counter()
-    for p in pics[:8]:
-        cbr.encode_picture(p)
+    for r in [cbr.encode_picture_async(p) for p in pics[:8]]:
+        r()
     cbr_fps = 8 / (time.perf_counter() - t0)
     print(f"bench: CBR encode {cbr_fps:.2f} fps (ref {BASELINE_CBR_FPS}, "
           f"{cbr_fps / BASELINE_CBR_FPS:.0f}x)   decode {dec_fps:.2f} fps "

@@ -24,6 +24,7 @@ from vc2tpu.quant.quantiser import MAX_QINDEX, adjust_quant_index, quant, scale
 from vc2tpu.rdo.cbr import cbr_quant_indices
 from vc2tpu.slices import layout
 from vc2tpu.slices.hq import encode_hq_slices
+from vc2tpu.vlc import device_pack
 from vc2tpu.wavelet import lifting, matrices
 
 
@@ -99,6 +100,27 @@ class Encoder:
             self.slice_budgets = None
         self._analyse = jax.jit(self._analyse_impl,
                                 static_argnames=("keep_planes",))
+        # device packer static geometry: words per slice row + payload cap.
+        # Both are adaptive power-of-two buckets (a miss sets a device-side
+        # flag / totals check and the host retries one bucket up — recompiles
+        # are rare and cached, while the local-assembly cost scales with w32
+        # and the fetch cost with cap).
+        self._w32_max = (cfg.slice_prefix + 4 + 3 * 255 * cfg.slice_scalar
+                         + 3) // 4
+        if cfg.mode == Mode.HQ_CBR:
+            self._w32 = min((cfg.slice_prefix + int(self.slice_budgets.max())
+                             + 3) // 4, self._w32_max)
+            self._cap = (self.geo.n_slices * cfg.slice_prefix
+                         + int(self.slice_budgets.sum()))
+        else:
+            coeffs = self.geo.n_slices * (
+                self.geo.luma_slice[0] * self.geo.luma_slice[1]
+                + 2 * self.geo.chroma_slice[0] * self.geo.chroma_slice[1])
+            guess = self.geo.n_slices * (cfg.slice_prefix + 4) + coeffs // 4
+            self._cap = 1 << max(14, int(np.ceil(np.log2(guess))))
+            per_slice = 2 * self._cap // max(self.geo.n_slices, 1) + 16
+            self._w32 = min(1 << int(np.ceil(np.log2(per_slice / 4))),
+                            self._w32_max)
 
     # ---- device side ----
 
@@ -137,10 +159,17 @@ class Encoder:
         budgets = (jnp.asarray(self.slice_budgets.ravel())
                    if self.slice_budgets is not None
                    else jnp.zeros((self.geo.n_slices,), jnp.int32))
-        res = self._analyse(jnp.asarray(picture.y, jnp.int32),
-                            jnp.asarray(picture.c1, jnp.int32),
-                            jnp.asarray(picture.c2, jnp.int32),
+        # samples fit int16 for bit depths <= 16 — halves the host->device copy
+        dt = (jnp.int16 if max(self.cfg.luma_depth, self.cfg.chroma_depth) <= 16
+              else jnp.int32)
+        res = self._analyse(jnp.asarray(picture.y, dt),
+                            jnp.asarray(picture.c1, dt),
+                            jnp.asarray(picture.c2, dt),
                             budgets, keep_planes=keep_planes)
+        if not keep_planes:
+            out = self._pack_on_device(res, budgets)
+            if out is not None:
+                return out
         q_idx = np.asarray(res["q_indices"])
         qy = np.asarray(res["qy"])
         qu = np.asarray(res["qu"])
@@ -163,6 +192,98 @@ class Encoder:
                 self._lanes_to_plane(qy, False), self._lanes_to_plane(qu, True),
                 self._lanes_to_plane(qv, True), picture.chroma_format)
         return out
+
+    def _pack_dispatch(self, res, budgets):
+        cfg = self.cfg
+        out = device_pack.pack_hq_payload(
+            res["qy"], res["qu"], res["qv"], res["q_indices"], budgets,
+            prefix=cfg.slice_prefix, scalar=cfg.slice_scalar,
+            w32=self._w32, cap_bytes=self._cap,
+            cbr=cfg.mode == Mode.HQ_CBR)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return out
+
+    def _pack_on_device(self, res, budgets) -> EncodedPicture | None:
+        """Assemble the slice payload on the TPU (device_pack) so the only
+        device->host copy is the compressed bytes. Returns None to fall back
+        to the host packer (oversized codes / capacity miss)."""
+        return self._pack_finalize(self._pack_dispatch(res, budgets), res,
+                                   budgets)
+
+    def _pack_finalize(self, buf_dev, res, budgets) -> EncodedPicture | None:
+        while True:
+            buf = np.asarray(buf_dev)
+            flags, q_idx, totals, payload = device_pack.unpack_result(
+                buf, self.geo.n_slices)
+            if flags & device_pack.FLAG_CODE_OVERFLOW:
+                return None
+            if flags & device_pack.FLAG_W32:  # slice row miss: grow + retry
+                if self._w32 >= self._w32_max:
+                    return None
+                self._w32 = min(self._w32 * 2, self._w32_max)
+                buf_dev = self._pack_dispatch(res, budgets)
+                continue
+            total = int(totals.sum(dtype=np.int64))
+            if total > self._cap:           # VBR capacity miss: grow + retry
+                self._cap = 1 << int(np.ceil(np.log2(total)))
+                buf_dev = self._pack_dispatch(res, budgets)
+                continue
+            break
+        if (q_idx > MAX_QINDEX).any():
+            raise ValueError(
+                "quantization index exceeds maximum implemented value.")
+        if flags & device_pack.FLAG_CBR_FIT:
+            raise ValueError("SliceIO, HQ CBR mode: Too many bytes for the slice")
+        if flags & device_pack.FLAG_SCALAR:
+            raise ValueError(
+                "Slice scalar is too small, consider using a larger slice "
+                "scalar.")
+        return EncodedPicture(
+            q_indices=q_idx.reshape(self.geo.y_slices, self.geo.x_slices),
+            payload=payload[:total].tobytes(),
+            slice_totals=totals.astype(np.int64))
+
+    def encode_picture_async(self, picture: Picture):
+        """Dispatch analysis + device packing and return a zero-arg callable
+        producing the EncodedPicture; the device->host copy overlaps whatever
+        the caller does before invoking it (one-frame software pipeline)."""
+        budgets = (jnp.asarray(self.slice_budgets.ravel())
+                   if self.slice_budgets is not None
+                   else jnp.zeros((self.geo.n_slices,), jnp.int32))
+        dt = (jnp.int16 if max(self.cfg.luma_depth, self.cfg.chroma_depth) <= 16
+              else jnp.int32)
+        res = self._analyse(jnp.asarray(picture.y, dt),
+                            jnp.asarray(picture.c1, dt),
+                            jnp.asarray(picture.c2, dt),
+                            budgets, keep_planes=False)
+        buf_dev = self._pack_dispatch(res, budgets)
+
+        def result() -> EncodedPicture:
+            out = self._pack_finalize(buf_dev, res, budgets)
+            if out is not None:
+                return out
+            return self._host_pack(res)
+
+        return result
+
+    def _host_pack(self, res) -> EncodedPicture:
+        """Host packer fallback (also the tap-output path)."""
+        q_idx = np.asarray(res["q_indices"])
+        if (q_idx > MAX_QINDEX).any():
+            raise ValueError(
+                "quantization index exceeds maximum implemented value.")
+        sizes = (self.slice_budgets.ravel()
+                 if self.slice_budgets is not None else None)
+        payload, totals = encode_hq_slices(
+            q_idx, np.asarray(res["qy"]), np.asarray(res["qu"]),
+            np.asarray(res["qv"]), self.cfg.slice_prefix,
+            self.cfg.slice_scalar, slice_sizes=sizes)
+        return EncodedPicture(
+            q_indices=q_idx.reshape(self.geo.y_slices, self.geo.x_slices),
+            payload=payload, slice_totals=np.asarray(totals))
 
     def _lanes_to_plane(self, lanes: np.ndarray, chroma: bool) -> np.ndarray:
         sh, sw = self.geo.chroma_slice if chroma else self.geo.luma_slice

@@ -1,0 +1,236 @@
+"""On-device HQ slice payload assembly (vectorised VLC entropy packing).
+
+The reference serialises slices with a bit-serial stream writer
+(/root/reference/src/Library/src/Slices.cpp:305-467 over src/VLC.cpp:120-257).
+Here the ENTIRE slice payload — prefix bytes, qIndex, per-component length
+bytes, bounded interleaved exp-Golomb data, byte alignment — is assembled on
+the TPU in three fully-vectorised stages, so the only device->host transfer
+of an encode step is the final compressed byte buffer:
+
+1. per-coefficient signed exp-Golomb code words + bit lengths (the bit
+   interleave is a classic mask-shift bit spread, no loops);
+2. per-slice local assembly: every slice packs into a fixed-width row of
+   32-bit words via a one-hot masked reduction over its coefficient lanes
+   (XLA fuses the (slices, lanes, words) product into the reduction);
+3. global assembly: each output byte gathers from (slice, local offset)
+   found by a searchsorted over the per-slice start offsets.
+
+Contributions into a word are bit-disjoint by construction, so integer adds
+realise bitwise OR. Layout per slice (Slices.cpp:305-382): ``prefix`` zero
+bytes, 1-byte qIndex, then per component {1-byte length/scalar, data,
+byte-align}; CBR forces the third component to fill the slice budget.
+
+Everything is int32/uint32; magnitudes above 2^15-ish would need >32-bit
+codes and raise an overflow flag (host falls back to the exact host packer).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# flag bits returned in the header word
+FLAG_CODE_OVERFLOW = 1   # a coefficient needs a >32-bit code
+FLAG_SCALAR = 2          # component length byte > 255 ("scalar too small")
+FLAG_CBR_FIT = 4         # CBR: y+u data exceeds the slice budget
+FLAG_QINDEX = 8          # qIndex exceeds 8 bits
+FLAG_W32 = 16            # a slice outgrew the w32 local row (host retries)
+
+
+def _spread16(x):
+    """Interleave zeros between the low 16 bits: bit j -> bit 2j."""
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x33333333)
+    x = (x | (x << 1)) & jnp.uint32(0x55555555)
+    return x
+
+
+def signed_codes(v):
+    """Interleaved signed exp-Golomb code for each int32 element
+    (reference VLC.cpp:21-52,68-76): (code uint32, nbits int32, overflow).
+
+    Code bit string MSB-first: [0 u_{k-2} 0 u_{k-3} .. 0 u_0 1 s] where
+    u = |v|+1 (k bits) and s the sign; zero encodes as the single bit 1.
+    """
+    v = v.astype(jnp.int32)
+    m = jnp.abs(v)
+    u = (m + 1).astype(jnp.uint32)
+    # k = bit length of u, exact integer arithmetic (u <= 2^16 handled)
+    k = jnp.ones(u.shape, jnp.int32)
+    for j in range(1, 17):
+        k = k + (u >= jnp.uint32(1 << j)).astype(jnp.int32)
+    overflow = jnp.any(u >= jnp.uint32(1 << 16))
+    t = u - (jnp.uint32(1) << (k - 1).astype(jnp.uint32))   # low k-1 bits
+    body = (_spread16(t) << 1) | jnp.uint32(1)              # 2k-1 bits
+    code = jnp.where(m > 0,
+                     (body << 1) | (v < 0).astype(jnp.uint32),
+                     jnp.uint32(1))
+    nbits = jnp.where(m > 0, 2 * k, 1)
+    return code, nbits, overflow
+
+
+def bits_used(values, nbits):
+    """Per-stream bit count with the trailing-zero truncation rule
+    (reference Slices.cpp:97-113): gross bits up to the last non-zero."""
+    gross = jnp.cumsum(nbits, axis=-1)
+    return jnp.max(jnp.where(values != 0, gross, 0), axis=-1)
+
+
+def _component(vals, dstart_bytes, comp_bytes, scalar):
+    """Codes, clipped to the bounded region, with absolute (local) bit
+    offsets. Returns (code, keep_bits, off_bits, overflow)."""
+    code, nb, overflow = signed_codes(vals)
+    cum_ex = jnp.cumsum(nb, axis=1) - nb
+    bound = (comp_bytes * 8)[:, None]
+    keep = jnp.clip(bound - cum_ex, 0, nb)
+    drop = (nb - keep).astype(jnp.uint32)
+    code = jnp.where(keep > 0, code >> drop, jnp.uint32(0))
+    off = dstart_bytes[:, None] * 8 + cum_ex
+    return code, keep, off, overflow
+
+
+def _parts(code, keep, off_bits):
+    """Split each clipped code into its <=2 contributions to 32-bit words.
+    Returns (w0, p0, p1): word index of the first word and the two
+    big-endian word contributions (p1 goes to word w0+1)."""
+    w0 = off_bits >> 5
+    sh = off_bits & 31
+    end = sh + keep
+    fits = end <= 32
+    s_lo = jnp.clip(32 - end, 0, 31).astype(jnp.uint32)
+    s_hi = jnp.clip(end - 32, 0, 31).astype(jnp.uint32)
+    p0 = jnp.where(fits, code << s_lo, code >> s_hi)
+    s_sp = jnp.clip(64 - end, 0, 31).astype(jnp.uint32)
+    p1 = jnp.where(fits, jnp.uint32(0), code << s_sp)
+    live = keep > 0
+    zero = jnp.uint32(0)
+    return w0, jnp.where(live, p0, zero), jnp.where(live, p1, zero)
+
+
+def _accumulate(local, w0, p0, p1, w32: int):
+    """local[n, w] += sum_l p0 where w0==w  (+ p1 at w0+1), as a one-hot
+    masked reduction that XLA fuses — no scatter."""
+    w_axis = jnp.arange(w32, dtype=jnp.int32)
+    hit0 = (w0[:, :, None] == w_axis).astype(jnp.uint32)
+    hit1 = ((w0 + 1)[:, :, None] == w_axis).astype(jnp.uint32)
+    local = local + jnp.sum(p0[:, :, None] * hit0, axis=1)
+    local = local + jnp.sum(p1[:, :, None] * hit1, axis=1)
+    return local
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prefix", "scalar", "w32", "cap_bytes", "cbr"))
+def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
+                    scalar: int, w32: int, cap_bytes: int, cbr: bool):
+    """Assemble the full HQ slice payload on device.
+
+    qy/qu/qv: (N, L_comp) quantised lanes (any int dtype); q_idx: (N,);
+    slice_sizes: (N,) CBR byte budgets (ignored unless cbr).
+    w32: static words per slice row (>= ceil(max slice bytes / 4)).
+    cap_bytes: static output payload capacity (CBR: the exact total).
+
+    Returns one uint8 buffer: [flags u32 | q_idx i32*N | totals i32*N |
+    payload bytes (cap_bytes)]. Host slices payload[:totals.sum()].
+    """
+    n = qy.shape[0]
+    qy = qy.astype(jnp.int32)
+    qu = qu.astype(jnp.int32)
+    qv = qv.astype(jnp.int32)
+    flags = jnp.uint32(0)
+
+    comps = []
+    comp_scaled = []
+    for vals in (qy, qu, qv):
+        _, nb, _ = signed_codes(vals)
+        used = bits_used(vals, nb)
+        scaled = ((used + 7) // 8 + scalar - 1) // scalar
+        comp_scaled.append(scaled)
+        comps.append(vals)
+    flags = flags | jnp.where(
+        jnp.any(jnp.stack([jnp.max(s) for s in comp_scaled[:2]]) > 255),
+        jnp.uint32(FLAG_SCALAR), jnp.uint32(0))
+    yb = comp_scaled[0] * scalar
+    ub = comp_scaled[1] * scalar
+    if cbr:
+        sizes = slice_sizes.astype(jnp.int32)
+        vb = sizes - 4 - yb - ub
+        need = comp_scaled[2] * scalar
+        flags = flags | jnp.where(jnp.any(vb < need),
+                                  jnp.uint32(FLAG_CBR_FIT), jnp.uint32(0))
+        flags = flags | jnp.where(jnp.any(vb // scalar > 255),
+                                  jnp.uint32(FLAG_SCALAR), jnp.uint32(0))
+    else:
+        vb = comp_scaled[2] * scalar
+        flags = flags | jnp.where(jnp.any(comp_scaled[2] > 255),
+                                  jnp.uint32(FLAG_SCALAR), jnp.uint32(0))
+    flags = flags | jnp.where(jnp.any(q_idx > 255), jnp.uint32(FLAG_QINDEX),
+                              jnp.uint32(0))
+
+    totals = prefix + 4 + yb + ub + vb
+    flags = flags | jnp.where(jnp.max(totals) > 4 * w32,
+                              jnp.uint32(FLAG_W32), jnp.uint32(0))
+    starts = jnp.cumsum(totals) - totals
+
+    # local per-slice assembly -------------------------------------------
+    local = jnp.zeros((n, w32), jnp.uint32)
+    dstarts = (prefix + 2 + jnp.zeros_like(yb),
+               prefix + 3 + yb,
+               prefix + 4 + yb + ub)
+    cbytes = (yb, ub, vb)
+    for c in range(3):
+        code, keep, off, ovf = _component(comps[c], dstarts[c], cbytes[c],
+                                          scalar)
+        flags = flags | jnp.where(ovf, jnp.uint32(FLAG_CODE_OVERFLOW),
+                                  jnp.uint32(0))
+        w0, p0, p1 = _parts(code, keep, off)
+        local = _accumulate(local, w0, p0, p1, w32)
+
+    # header bytes: qIndex + three length bytes
+    hdr_off = jnp.stack([
+        jnp.full((n,), prefix, jnp.int32),
+        jnp.full((n,), prefix + 1, jnp.int32),
+        prefix + 2 + yb,
+        prefix + 3 + yb + ub,
+    ], axis=1)                                            # (N, 4) byte offsets
+    hdr_val = jnp.stack([
+        q_idx.astype(jnp.uint32) & 0xFF,
+        (yb // scalar).astype(jnp.uint32) & 0xFF,
+        (ub // scalar).astype(jnp.uint32) & 0xFF,
+        (vb // scalar).astype(jnp.uint32) & 0xFF,
+    ], axis=1)
+    hw = hdr_off >> 2
+    hp = hdr_val << ((3 - (hdr_off & 3)).astype(jnp.uint32) * 8)
+    local = _accumulate(local, hw, hp, jnp.zeros_like(hp), w32)
+
+    # global byte gather ---------------------------------------------------
+    g = jnp.arange(cap_bytes, dtype=jnp.int32)
+    s_idx = jnp.clip(jnp.searchsorted(starts, g, side="right") - 1, 0, n - 1)
+    o = g - starts[s_idx]
+    word = local[s_idx, jnp.clip(o >> 2, 0, w32 - 1)]
+    payload = ((word >> ((3 - (o & 3)).astype(jnp.uint32) * 8))
+               & 0xFF).astype(jnp.uint8)
+    # zero any bytes past the true total (VBR capacity padding)
+    total = starts[-1] + totals[-1]
+    payload = jnp.where(g < total, payload, jnp.uint8(0))
+
+    head = jnp.concatenate([
+        jax.lax.bitcast_convert_type(flags[None], jnp.uint8).ravel(),
+        jax.lax.bitcast_convert_type(q_idx.astype(jnp.int32),
+                                     jnp.uint8).ravel(),
+        jax.lax.bitcast_convert_type(totals, jnp.uint8).ravel(),
+    ])
+    return jnp.concatenate([head, payload])
+
+
+def unpack_result(buf: np.ndarray, n: int):
+    """Split the fetched buffer: (flags, q_idx, totals, payload_bytes)."""
+    flags = int(buf[:4].view(np.uint32)[0])
+    q_idx = buf[4:4 + 4 * n].view(np.int32)
+    totals = buf[4 + 4 * n:4 + 8 * n].view(np.int32)
+    payload = buf[4 + 8 * n:]
+    return flags, q_idx, totals, payload
