@@ -47,6 +47,14 @@ class _Native:
             np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
         ]
         lib.unpack_streams_i16.restype = ctypes.c_int
+        lib.fixedpack.argtypes = [
+            np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            i64,
+        ]
+        lib.fixedpack.restype = i64
         lib.scan_hq_offsets.argtypes = [
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             i64, i64, i64, i64, i64,
@@ -95,6 +103,11 @@ class _Native:
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(bounds, np.int64),
             int(S), int(n_lanes), out)
+
+    def fixedpack(self, lanes, S, n_lanes, widths, out, start_bit):
+        return self._lib.fixedpack(np.ascontiguousarray(lanes, np.int16),
+                                   int(S), int(n_lanes), widths, out,
+                                   int(start_bit))
 
     def scan_hq_offsets(self, payload, n, prefix, scalar, start, q, dstart,
                         cbytes):

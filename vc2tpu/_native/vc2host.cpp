@@ -218,6 +218,43 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
   return overflow;
 }
 
+// Fixed-width repack of decoded coefficient streams for the host->device
+// copy: per stream (slice component) the width is bitlen(max|v|)+1 bits
+// (0 for all-zero streams), values are two's-complement MSB-first,
+// bit-contiguous across values and streams. The device unpacks with two
+// word gathers + an arithmetic shift per value. Returns the end bit cursor.
+EXPORT int64_t fixedpack(const int16_t* lanes, int64_t S, int64_t n_lanes,
+                         uint8_t* widths, uint32_t* out, int64_t start_bit) {
+  int64_t bit = start_bit;
+  for (int64_t s = 0; s < S; ++s) {
+    const int16_t* row = lanes + s * n_lanes;
+    uint32_t maxabs = 0;
+    for (int64_t i = 0; i < n_lanes; ++i) {
+      int32_t v = row[i];
+      uint32_t a = static_cast<uint32_t>(v < 0 ? -v : v);
+      if (a > maxabs) maxabs = a;
+    }
+    int w = maxabs ? (33 - __builtin_clz(maxabs)) : 0;  // bitlen + sign bit
+    widths[s] = static_cast<uint8_t>(w);
+    if (w == 0) continue;
+    const uint32_t mask = (w == 32) ? ~0u : ((1u << w) - 1u);
+    for (int64_t i = 0; i < n_lanes; ++i) {
+      const uint32_t u = static_cast<uint32_t>(row[i]) & mask;
+      const int64_t word = bit >> 5;
+      const int sh = static_cast<int>(bit & 31);
+      const int spill = sh + w - 32;
+      if (spill <= 0) {
+        out[word] |= u << (32 - sh - w);
+      } else {
+        out[word] |= u >> spill;
+        out[word + 1] |= u << (32 - spill);
+      }
+      bit += w;
+    }
+  }
+  return bit;
+}
+
 // Walk the self-describing HQ (VBR-layout) slice chain: per slice `prefix`
 // zero bytes, 1-byte qIndex, then 3 x {1-byte length/scalar, data}
 // (reference Slices.cpp:384-467). Fills q[N], dstart[3*N], cbytes[3*N]

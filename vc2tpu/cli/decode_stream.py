@@ -71,7 +71,8 @@ class Decoder:
         self.first_field = None
         self.frags: dict[int, _FragState] = {}
         self.frames_out = 0
-        self._pending = None          # device words buffer not yet written
+        self._pending = []            # FIFO of (device words, post) in flight
+        self._depth = 2               # frames in flight before blocking
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
 
@@ -82,18 +83,17 @@ class Decoder:
     # --- pipelined output: device->host copy overlaps next picture's host
     # work; every write flushes the previous frame first to keep byte order ---
 
-    def _flush(self):
-        if self._pending is not None:
-            buf = np.asarray(self._pending)
-            self._pending = None
-            self.sink.write(buf.tobytes())
+    def _flush(self, keep: int = 0):
+        while len(self._pending) > keep:
+            words, post = self._pending.pop(0)
+            self.sink.write(post(np.asarray(words)))
             self.frames_out += 1
 
     def _write(self, data: bytes):
         self._flush()
         self.sink.write(data)
 
-    def _emit_words(self, words):
+    def _emit_words(self, words, post):
         """Fast decoded-output path: ``words`` is the device buffer of
         formatted output samples for one progressive frame or one field."""
         hdr = self.hdr
@@ -125,8 +125,8 @@ class Decoder:
             self.frame += 1
             self.frames_out += 1
             return
-        self._flush()
-        self._pending = words
+        self._flush(keep=self._depth - 1)
+        self._pending.append((words, post))
         self.frame += 1
 
     # --- picture decode core (shared by whole pictures and fragments) ---
@@ -194,9 +194,11 @@ class Decoder:
             if combined is None:
                 combined = np.concatenate(
                     [np.asarray(a).ravel() for a in (ly, lu, lv)]).astype(np.int32)
-            self._emit_words(synthesise_to_words(
+            words, post = synthesise_to_words(
                 combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
-                geo, out_geom, hdr.bitdepth))
+                geo, out_geom, hdr.bitdepth,
+                allow_pack=not hdr.interlace)
+            self._emit_words(words, post)
             return
         else:
             quantised = Picture(

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vc2tpu._native.bridge import native
 from vc2tpu.core.config import ColourFormat, PictureGeometry, WaveletKernel
 from vc2tpu.core.picture import Picture
 from vc2tpu.quant.quantiser import adjust_quant_index, scale
@@ -21,7 +22,7 @@ from vc2tpu.wavelet import lifting, matrices
 
 @functools.lru_cache(maxsize=32)
 def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
-                        bitdepth: int):
+                        bitdepth: int, pack10: bool = False):
     """Fused decode tail: dequant + IDWT + signal clip + planar-format the
     output samples on device (offset binary, MSB-justified, big-endian),
     returning ONE flat word buffer so the host writes raw bytes.
@@ -29,7 +30,9 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
     Covers DecodeStream's decode->clip->planar-write tail
     (/root/reference/src/DecodeStream/DecodeStream.cpp:551-609 and
     src/Library/src/Arrays.cpp:381-426) in a single jitted function; the
-    single device->host transfer is the only copy.
+    single device->host transfer is the only copy. With ``pack10`` (10-bit
+    video) three samples pack per uint32 word, cutting that transfer by
+    ~38%; the host expands with _unpack10.
     """
     (ys, xs, lsh, lsw, csh, csw) = geo_key
     (out_lh, out_lw, out_ch, out_cw) = out_key
@@ -38,6 +41,8 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
 
     def fmt(p):
         v = jnp.clip(p, -zero, zero - 1) + zero
+        if pack10:
+            return v.astype(jnp.uint32).ravel()
         if word == 1:
             return v.astype(jnp.uint8).ravel()
         v = (v << (16 - bitdepth)).astype(jnp.uint16)
@@ -47,10 +52,36 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
     Ly = lsh * lsw
     Lc = csh * csw
 
-    def fn(combined, q_idx, qm_y_lanes, qm_c_lanes):
-        qy = combined[:n * Ly].reshape(n, Ly).astype(jnp.int32)
-        qu = combined[n * Ly:n * (Ly + Lc)].reshape(n, Lc).astype(jnp.int32)
-        qv = combined[n * (Ly + Lc):].reshape(n, Lc).astype(jnp.int32)
+    def unpack_fixed(packed, widths):
+        """Device-side unpack of the host fixedpack repack (vc2host.cpp
+        fixedpack): per-stream two's-complement values at width w[s],
+        MSB-first bit-contiguous. Two word gathers + arithmetic shift."""
+        w = widths.astype(jnp.int32)
+        lens = jnp.concatenate([w[:n] * Ly, w[n:2 * n] * Lc, w[2 * n:] * Lc])
+        starts = jnp.cumsum(lens) - lens
+
+        def comp(ws, st, L):
+            off = st[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :] * ws[:, None]
+            word = off >> 5
+            hi = packed[word]
+            sh = (off & 31).astype(jnp.uint32)
+            lo = packed[word + 1]
+            window = (hi << sh) | jnp.where(sh > 0, lo >> (32 - sh), 0)
+            shift = jnp.clip(32 - ws[:, None], 0, 31)
+            val = window.astype(jnp.int32) >> shift     # arithmetic: sign-extend
+            return jnp.where(ws[:, None] > 0, val, 0)
+
+        return (comp(w[:n], starts[:n], Ly),
+                comp(w[n:2 * n], starts[n:2 * n], Lc),
+                comp(w[2 * n:], starts[2 * n:], Lc))
+
+    def fn(combined, q_idx, qm_y_lanes, qm_c_lanes, widths=None):
+        if widths is not None:
+            qy, qu, qv = unpack_fixed(combined, widths)
+        else:
+            qy = combined[:n * Ly].reshape(n, Ly).astype(jnp.int32)
+            qu = combined[n * Ly:n * (Ly + Lc)].reshape(n, Lc).astype(jnp.int32)
+            qv = combined[n * (Ly + Lc):].reshape(n, Lc).astype(jnp.int32)
         aq_y = adjust_quant_index(q_idx[:, None], qm_y_lanes[None, :])
         aq_c = adjust_quant_index(q_idx[:, None], qm_c_lanes[None, :])
         ty = layout.lanes_to_plane(scale(qy, aq_y), ys, xs, lsh, lsw, depth)
@@ -59,19 +90,44 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
         y = lifting.inverse_plane(ty, kernel, depth)[:out_lh, :out_lw]
         c1 = lifting.inverse_plane(tu, kernel, depth)[:out_ch, :out_cw]
         c2 = lifting.inverse_plane(tv, kernel, depth)[:out_ch, :out_cw]
-        return jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
+        out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
+        if pack10:
+            pad = (-out.shape[0]) % 3
+            if pad:
+                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
+            t = out.reshape(-1, 3)
+            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
+        return out
 
     return jax.jit(fn)
 
 
+def _bucket(n: int) -> int:
+    """Round up to the next {1, 1.5}x power-of-two size (limits jit
+    retraces from data-dependent packed-buffer lengths)."""
+    p = 1 << max(10, int(np.ceil(np.log2(max(n, 1)))))
+    return (3 * p // 4) if n <= 3 * p // 4 else p
+
+
+def _unpack10(w: np.ndarray, n_samples: int) -> bytes:
+    """Expand 3x10-bit packed uint32 words to the big-endian MSB-justified
+    16-bit planar wire format."""
+    v = np.empty((w.size, 3), np.uint16)
+    v[:, 0] = (w >> 20) & 1023
+    v[:, 1] = (w >> 10) & 1023
+    v[:, 2] = w & 1023
+    flat = v.reshape(-1)[:n_samples]
+    return (flat << 6).astype(">u2").tobytes()
+
+
 def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
                         depth: int, geo, out_geometry: PictureGeometry,
-                        bitdepth: int):
+                        bitdepth: int, allow_pack: bool = True):
     """Async fast path: one host->device copy of the combined coefficient
-    buffer (int16 normally), full synthesis + output formatting on device,
-    returns the device array of formatted output words (uint8 for 8-bit
-    video, big-endian uint16 otherwise) WITHOUT blocking. Callers overlap
-    np.asarray(...) with later host work."""
+    buffer (int16 normally), full synthesis + output formatting on device.
+    Returns (device_words, postprocess) WITHOUT blocking; postprocess turns
+    the fetched np array into wire bytes. Callers overlap the fetch with
+    later host work."""
     _, band_y = layout.lane_order(geo.luma_slice[0], geo.luma_slice[1], depth)
     _, band_c = layout.lane_order(geo.chroma_slice[0], geo.chroma_slice[1], depth)
     qm_y = jnp.asarray(qmatrix[band_y].astype(np.int32))
@@ -79,14 +135,42 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
     geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice, *geo.chroma_slice)
     out_key = (out_geometry.luma_height, out_geometry.luma_width,
                out_geometry.chroma_height, out_geometry.chroma_width)
-    fn = _synthesis_bytes_fn(kernel, depth, geo_key, out_key, bitdepth)
-    out = fn(jnp.asarray(combined), jnp.asarray(q_indices, jnp.int32),
-             qm_y, qm_c)
+    pack10 = bool(allow_pack and bitdepth == 10)
+    fn = _synthesis_bytes_fn(kernel, depth, geo_key, out_key, bitdepth, pack10)
+    args = ()
+    combined = np.asarray(combined) if not hasattr(combined, "dtype") else combined
+    if (native is not None and isinstance(combined, np.ndarray)
+            and combined.dtype == np.int16):
+        # fixed-width repack: ~2-4x smaller host->device copy
+        n = geo.n_slices
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        widths = np.empty(3 * n, np.uint8)
+        scratch = np.zeros(_bucket((combined.size * 16 + 63) // 32 + 2),
+                           np.uint32)
+        b = native.fixedpack(combined[:n * Ly], n, Ly, widths[:n], scratch, 0)
+        b = native.fixedpack(combined[n * Ly:n * (Ly + Lc)], n, Lc,
+                             widths[n:2 * n], scratch, b)
+        b = native.fixedpack(combined[n * (Ly + Lc):], n, Lc,
+                             widths[2 * n:], scratch, b)
+        words = int(b + 31) // 32 + 1
+        out = fn(jnp.asarray(scratch[:_bucket(words)]),
+                 jnp.asarray(q_indices, jnp.int32), qm_y, qm_c,
+                 widths=jnp.asarray(widths))
+    else:
+        out = fn(jnp.asarray(combined), jnp.asarray(q_indices, jnp.int32),
+                 qm_y, qm_c)
     try:
         out.copy_to_host_async()
     except Exception:
         pass
-    return out
+    if pack10:
+        n = (out_geometry.luma_height * out_geometry.luma_width
+             + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
+        post = functools.partial(_unpack10, n_samples=n)
+    else:
+        post = lambda a: a.tobytes()
+    return out, post
 
 
 @functools.lru_cache(maxsize=32)
