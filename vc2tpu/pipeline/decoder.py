@@ -15,7 +15,7 @@ import numpy as np
 from vc2tpu._native.bridge import native
 from vc2tpu.core.config import ColourFormat, PictureGeometry, WaveletKernel
 from vc2tpu.core.picture import Picture
-from vc2tpu.quant.quantiser import adjust_quant_index, scale
+from vc2tpu.quant.quantiser import adjust_quant_index, scale, scale_banded
 from vc2tpu.slices import layout
 from vc2tpu.wavelet import lifting, matrices
 
@@ -75,18 +75,24 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
                 comp(w[n:2 * n], starts[n:2 * n], Lc),
                 comp(w[2 * n:], starts[2 * n:], Lc))
 
-    def fn(combined, q_idx, qm_y_lanes, qm_c_lanes, widths=None):
+    bands_y = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(lsh, lsw, depth)[1]))
+    bands_c = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(csh, csw, depth)[1]))
+
+    def fn(combined, q_idx, qm_bands, widths=None):
         if widths is not None:
             qy, qu, qv = unpack_fixed(combined, widths)
         else:
             qy = combined[:n * Ly].reshape(n, Ly).astype(jnp.int32)
             qu = combined[n * Ly:n * (Ly + Lc)].reshape(n, Lc).astype(jnp.int32)
             qv = combined[n * (Ly + Lc):].reshape(n, Lc).astype(jnp.int32)
-        aq_y = adjust_quant_index(q_idx[:, None], qm_y_lanes[None, :])
-        aq_c = adjust_quant_index(q_idx[:, None], qm_c_lanes[None, :])
-        ty = layout.lanes_to_plane(scale(qy, aq_y), ys, xs, lsh, lsw, depth)
-        tu = layout.lanes_to_plane(scale(qu, aq_c), ys, xs, csh, csw, depth)
-        tv = layout.lanes_to_plane(scale(qv, aq_c), ys, xs, csh, csw, depth)
+        ty = layout.lanes_to_plane(scale_banded(qy, q_idx, qm_bands, bands_y),
+                                   ys, xs, lsh, lsw, depth)
+        tu = layout.lanes_to_plane(scale_banded(qu, q_idx, qm_bands, bands_c),
+                                   ys, xs, csh, csw, depth)
+        tv = layout.lanes_to_plane(scale_banded(qv, q_idx, qm_bands, bands_c),
+                                   ys, xs, csh, csw, depth)
         y = lifting.inverse_plane(ty, kernel, depth)[:out_lh, :out_lw]
         c1 = lifting.inverse_plane(tu, kernel, depth)[:out_ch, :out_cw]
         c2 = lifting.inverse_plane(tv, kernel, depth)[:out_ch, :out_cw]
@@ -128,16 +134,12 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
     Returns (device_words, postprocess) WITHOUT blocking; postprocess turns
     the fetched np array into wire bytes. Callers overlap the fetch with
     later host work."""
-    _, band_y = layout.lane_order(geo.luma_slice[0], geo.luma_slice[1], depth)
-    _, band_c = layout.lane_order(geo.chroma_slice[0], geo.chroma_slice[1], depth)
-    qm_y = jnp.asarray(qmatrix[band_y].astype(np.int32))
-    qm_c = jnp.asarray(qmatrix[band_c].astype(np.int32))
+    qm_bands = jnp.asarray(qmatrix.astype(np.int32))
     geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice, *geo.chroma_slice)
     out_key = (out_geometry.luma_height, out_geometry.luma_width,
                out_geometry.chroma_height, out_geometry.chroma_width)
     pack10 = bool(allow_pack and bitdepth == 10)
     fn = _synthesis_bytes_fn(kernel, depth, geo_key, out_key, bitdepth, pack10)
-    args = ()
     combined = np.asarray(combined) if not hasattr(combined, "dtype") else combined
     if (native is not None and isinstance(combined, np.ndarray)
             and combined.dtype == np.int16):
@@ -155,11 +157,11 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
                              widths[2 * n:], scratch, b)
         words = int(b + 31) // 32 + 1
         out = fn(jnp.asarray(scratch[:_bucket(words)]),
-                 jnp.asarray(q_indices, jnp.int32), qm_y, qm_c,
+                 jnp.asarray(q_indices, jnp.int32), qm_bands,
                  widths=jnp.asarray(widths))
     else:
         out = fn(jnp.asarray(combined), jnp.asarray(q_indices, jnp.int32),
-                 qm_y, qm_c)
+                 qm_bands)
     try:
         out.copy_to_host_async()
     except Exception:

@@ -20,7 +20,7 @@ import numpy as np
 
 from vc2tpu.core.config import EncoderConfig, Mode, PictureGeometry
 from vc2tpu.core.picture import Picture
-from vc2tpu.quant.quantiser import MAX_QINDEX, adjust_quant_index, quant, scale
+from vc2tpu.quant.quantiser import MAX_QINDEX, quant_banded
 from vc2tpu.rdo.cbr import cbr_quant_indices
 from vc2tpu.slices import layout
 from vc2tpu.slices.hq import encode_hq_slices
@@ -90,6 +90,9 @@ class Encoder:
         _, band_c = layout.lane_order(*self.geo.chroma_slice, d)
         self.qm_lanes_y = self.qmatrix[band_y].astype(np.int32)
         self.qm_lanes_c = self.qmatrix[band_c].astype(np.int32)
+        self.band_sizes_y = tuple(int(c) for c in np.bincount(band_y))
+        self.band_sizes_c = tuple(int(c) for c in np.bincount(band_c))
+        self.qm_bands = self.qmatrix.astype(np.int32)
         if cfg.mode == Mode.HQ_CBR:
             self.picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
                                   else cfg.compressed_bytes)
@@ -137,17 +140,17 @@ class Encoder:
         ly = self._to_lanes(ty, False)
         lu = self._to_lanes(tu, True)
         lv = self._to_lanes(tv, True)
-        qm_y = jnp.asarray(self.qm_lanes_y)
-        qm_c = jnp.asarray(self.qm_lanes_c)
+        qm = jnp.asarray(self.qm_bands)
+        bs_y, bs_c = self.band_sizes_y, self.band_sizes_c
         if cfg.mode == Mode.HQ_CBR:
-            q_idx = cbr_quant_indices(ly, lu, lv, qm_y, qm_c, budgets,
+            q_idx = cbr_quant_indices(ly, lu, lv, qm, bs_y, bs_c, budgets,
                                       cfg.slice_scalar)
         else:
             q_idx = jnp.full((self.geo.n_slices,), cfg.q_index, dtype=jnp.int32)
-        aq_y = adjust_quant_index(q_idx[:, None], qm_y[None, :])
-        aq_c = adjust_quant_index(q_idx[:, None], qm_c[None, :])
         out = dict(q_indices=q_idx,
-                   qy=quant(ly, aq_y), qu=quant(lu, aq_c), qv=quant(lv, aq_c))
+                   qy=quant_banded(ly, q_idx, qm, bs_y),
+                   qu=quant_banded(lu, q_idx, qm, bs_c),
+                   qv=quant_banded(lv, q_idx, qm, bs_c))
         if keep_planes:
             out.update(ty=ty, tu=tu, tv=tv)
         return out

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vc2tpu.core.config import EncoderConfig, Mode
-from vc2tpu.quant.quantiser import adjust_quant_index, quant
+from vc2tpu.quant.quantiser import quant_banded, scale_banded
 from vc2tpu.rdo.cbr import cbr_quant_indices
 from vc2tpu.slices import layout
 from vc2tpu.shard.halo import sharded_forward_plane, sharded_inverse_plane
@@ -41,10 +41,13 @@ def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
     geo = slice_geometry(cfg)
     d = cfg.wavelet_depth
     qmatrix = matrices.quant_matrix(cfg.kernel, d)
+    import numpy as np
+
     _, band_y = layout.lane_order(*geo.luma_slice, d)
     _, band_c = layout.lane_order(*geo.chroma_slice, d)
-    qm_y = jnp.asarray(qmatrix[band_y].astype(jnp.int32))
-    qm_c = jnp.asarray(qmatrix[band_c].astype(jnp.int32))
+    qm = jnp.asarray(qmatrix.astype(jnp.int32))
+    bs_y = tuple(int(c) for c in np.bincount(band_y))
+    bs_c = tuple(int(c) for c in np.bincount(band_c))
     plane_spec = NamedSharding(mesh, P("data", "space", None))
     lane_spec = NamedSharding(mesh, P("data", "space", None))
 
@@ -64,13 +67,13 @@ def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
         if cfg.mode == Mode.HQ_CBR:
             q_idx = cbr_quant_indices(
                 ly.reshape(B * n, -1), lu.reshape(B * n, -1),
-                lv.reshape(B * n, -1), qm_y, qm_c,
+                lv.reshape(B * n, -1), qm, bs_y, bs_c,
                 budgets.reshape(B * n), cfg.slice_scalar).reshape(B, n)
         else:
             q_idx = jnp.full((B, n), cfg.q_index, dtype=jnp.int32)
-        aq_y = adjust_quant_index(q_idx[..., None], qm_y[None, None, :])
-        aq_c = adjust_quant_index(q_idx[..., None], qm_c[None, None, :])
-        return (q_idx, quant(ly, aq_y), quant(lu, aq_c), quant(lv, aq_c))
+        return (q_idx, quant_banded(ly, q_idx, qm, bs_y),
+                quant_banded(lu, q_idx, qm, bs_c),
+                quant_banded(lv, q_idx, qm, bs_c))
 
     with mesh:
         step_jit = jax.jit(step,
@@ -82,22 +85,24 @@ def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
 
 def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh):
     """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT."""
-    from vc2tpu.quant.quantiser import scale
+    import numpy as np
 
     qmatrix = matrices.quant_matrix(kernel, depth)
     _, band_y = layout.lane_order(*geo.luma_slice, depth)
     _, band_c = layout.lane_order(*geo.chroma_slice, depth)
-    qm_y = jnp.asarray(qmatrix[band_y].astype(jnp.int32))
-    qm_c = jnp.asarray(qmatrix[band_c].astype(jnp.int32))
+    qm = jnp.asarray(qmatrix.astype(jnp.int32))
+    bs_y = tuple(int(c) for c in np.bincount(band_y))
+    bs_c = tuple(int(c) for c in np.bincount(band_c))
 
     def step(q_idx, ly, lu, lv):
-        aq_y = adjust_quant_index(q_idx[..., None], qm_y[None, None, :])
-        aq_c = adjust_quant_index(q_idx[..., None], qm_c[None, None, :])
-        ty = layout.lanes_to_plane(scale(ly, aq_y), geo.y_slices, geo.x_slices,
+        ty = layout.lanes_to_plane(scale_banded(ly, q_idx, qm, bs_y),
+                                   geo.y_slices, geo.x_slices,
                                    *geo.luma_slice, depth)
-        tu = layout.lanes_to_plane(scale(lu, aq_c), geo.y_slices, geo.x_slices,
+        tu = layout.lanes_to_plane(scale_banded(lu, q_idx, qm, bs_c),
+                                   geo.y_slices, geo.x_slices,
                                    *geo.chroma_slice, depth)
-        tv = layout.lanes_to_plane(scale(lv, aq_c), geo.y_slices, geo.x_slices,
+        tv = layout.lanes_to_plane(scale_banded(lv, q_idx, qm, bs_c),
+                                   geo.y_slices, geo.x_slices,
                                    *geo.chroma_slice, depth)
         y = sharded_inverse_plane(ty, mesh, kernel, depth)
         c1 = sharded_inverse_plane(tu, mesh, kernel, depth)

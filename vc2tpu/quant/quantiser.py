@@ -79,36 +79,99 @@ def _trunc_div_i32(a, b):
     return jnp.where((a < 0) ^ (b < 0), -q, q)
 
 
+# |quant_factor| and its float32 reciprocal — TPUs have no integer divide
+# unit, so quant() computes a float32 reciprocal estimate and repairs it with
+# two exact int32 multiply-compare corrections. Exact for magnitudes below
+# 2^24 after the <<2 (i.e. |v| < 2^22), which bounds every coefficient a
+# <=16-bit-deep VC-2 transform can produce.
+ABS_QF_I32 = np.minimum(np.abs(QUANT_FACTORS_I32.astype(np.int64)),
+                        2**31 - 1).astype(np.int32)   # INT_MIN entry clamps;
+# quotients are unchanged for all in-domain magnitudes (< 2^24 << 2^31-1)
+RECIP_QF_F32 = (np.float32(1.0) / ABS_QF_I32.astype(np.float32))
+
+
+def _quant_core(v, absqf, recip, neg_qf):
+    mag = jnp.abs(v) << 2
+    out = (mag.astype(jnp.float32) * recip).astype(jnp.int32)
+    for _ in range(2):                       # exact fix-up of the estimate
+        r = mag - out * absqf
+        out = out + (r >= absqf).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    out = jnp.where(neg_qf, -out, out)       # int32-wrapped table entries
+    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+
+
+def _scale_core(v, qf, qo):
+    mag = jnp.abs(v)
+    prod = mag * qf                          # int32 wrap
+    prod = prod + jnp.where(prod > 0, qo, 0) + 2
+    out = jnp.where(prod < 0, -((-prod) >> 2), prod >> 2)  # trunc /4
+    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+
+
 def quant(values, q_indices):
     """Element-wise dead-zone quantise; values int32, q_indices same shape or
     broadcastable. q indices are clamped to the table internally (the caller
     checks the <=119 domain, as the reference throws there).
 
-    int32 throughout; ``|v| << 2`` wraps exactly as the reference's int does.
+    Matches the reference's ``sign * ((|v| << 2) / quant_factor(q))``
+    (Quantisation.cpp:69-76) bit-exactly for |v| < 2^22. Prefer
+    quant_banded on the hot paths — it gathers tables per subband instead of
+    per element.
     """
     v = values.astype(jnp.int32)
     q = jnp.clip(q_indices, 0, MAX_QINDEX).astype(jnp.int32)
-    qf = jnp.asarray(QUANT_FACTORS_I32)[q]
-    mag = jnp.abs(v) << 2                    # int32 wrap matches C
-    out = _trunc_div_i32(mag, qf)
-    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+    return _quant_core(v, jnp.asarray(ABS_QF_I32)[q],
+                       jnp.asarray(RECIP_QF_F32)[q],
+                       jnp.asarray(QUANT_FACTORS_I32)[q] < 0)
 
 
 def scale(values, q_indices):
     """Element-wise inverse quantise (reference Quantisation.cpp:86-95).
 
     The reference's ``value *= quant_factor(q)`` wraps int32; jnp int32
-    multiplication wraps identically.
+    multiplication wraps identically. The final /4 truncating division is
+    two arithmetic shifts.
     """
     v = values.astype(jnp.int32)
     q = jnp.clip(q_indices, 0, MAX_QINDEX).astype(jnp.int32)
-    qf = jnp.asarray(QUANT_FACTORS_I32)[q]
-    qo = jnp.asarray(QUANT_OFFSETS)[q]
-    mag = jnp.abs(v)
-    prod = mag * qf                          # int32 wrap
-    prod = prod + jnp.where(prod > 0, qo, 0) + 2
-    out = _trunc_div_i32(prod, jnp.int32(4))
-    return jnp.where(v < 0, -out, out).astype(jnp.int32)
+    return _scale_core(v, jnp.asarray(QUANT_FACTORS_I32)[q],
+                       jnp.asarray(QUANT_OFFSETS)[q])
+
+
+# --- banded fast paths ------------------------------------------------------
+# Coefficient lanes (slices/layout.lane_order) are contiguous by subband, and
+# the quant matrix is constant within a subband, so every per-element table
+# lookup can become a (slices, bands) lookup broadcast along static band
+# extents — TPU gathers are the hot-loop cost, broadcasts are free.
+
+def expand_bands(p, band_sizes: tuple):
+    """(..., B) per-band values -> (..., L) per-lane values."""
+    parts = [jnp.broadcast_to(p[..., i:i + 1], p.shape[:-1] + (s,))
+             for i, s in enumerate(band_sizes)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def banded_aq(q, qm_bands):
+    """Adjusted quant index per (..., band), clamped to the table domain."""
+    return jnp.clip(q[..., None] - qm_bands, 0, MAX_QINDEX).astype(jnp.int32)
+
+
+def quant_banded(values, q, qm_bands, band_sizes: tuple):
+    """quant() with per-slice q (..., N) against band-contiguous lanes
+    (..., N, L); qm_bands is the (B,) quant matrix."""
+    aq = banded_aq(q, qm_bands)
+    absqf = expand_bands(jnp.asarray(ABS_QF_I32)[aq], band_sizes)
+    recip = expand_bands(jnp.asarray(RECIP_QF_F32)[aq], band_sizes)
+    neg = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq] < 0, band_sizes)
+    return _quant_core(values.astype(jnp.int32), absqf, recip, neg)
+
+
+def scale_banded(values, q, qm_bands, band_sizes: tuple):
+    """scale() with per-slice q against band-contiguous lanes."""
+    aq = banded_aq(q, qm_bands)
+    qf = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq], band_sizes)
+    qo = expand_bands(jnp.asarray(QUANT_OFFSETS)[aq], band_sizes)
+    return _scale_core(values.astype(jnp.int32), qf, qo)
 
 
 def signed_vlc_numbits(values):
