@@ -67,7 +67,8 @@ def main() -> int:
                     ColourFormat.CF422) for (y, c1, c2) in frames]
 
     enc = Encoder(cfg)
-    # warm-up compile + one encoded picture for the stream
+    # warm-up compiles (second call absorbs the adaptive fetch-cap resize)
+    enc.encode_picture(pics[0])
     enc.encode_picture(pics[0])
 
     t0 = time.perf_counter()

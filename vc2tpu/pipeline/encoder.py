@@ -102,7 +102,7 @@ class Encoder:
         else:
             self.slice_budgets = None
         self._analyse = jax.jit(self._analyse_impl,
-                                static_argnames=("keep_planes",))
+                                static_argnames=("keep_planes", "packed10"))
         # device packer static geometry: words per slice row + payload cap.
         # Both are adaptive power-of-two buckets (a miss sets a device-side
         # flag / totals check and the host retries one bucket up — recompiles
@@ -131,9 +131,24 @@ class Encoder:
         return layout.plane_to_lanes(plane, self.geo.y_slices,
                                      self.geo.x_slices, self.cfg.wavelet_depth)
 
-    def _analyse_impl(self, y, c1, c2, budgets, keep_planes: bool = False):
+    def _analyse_impl(self, y, c1, c2, budgets, keep_planes: bool = False,
+                      packed10: bool = False):
         cfg = self.cfg
         d = cfg.wavelet_depth
+        if packed10:
+            g = cfg.geometry
+            luma_h = (g.luma_height // 2 if cfg.interlaced else g.luma_height)
+            chroma_h = (g.chroma_height // 2 if cfg.interlaced
+                        else g.chroma_height)
+
+            def unpack(w, h, wdt):
+                v = jnp.stack([(w >> 20) & 1023, (w >> 10) & 1023, w & 1023],
+                              axis=1).ravel()[:h * wdt]
+                return (v.astype(jnp.int32) - 512).reshape(h, wdt)
+
+            y = unpack(y, luma_h, g.luma_width)
+            c1 = unpack(c1, chroma_h, g.chroma_width)
+            c2 = unpack(c2, chroma_h, g.chroma_width)
         ty = lifting.forward_plane(lifting.wavelet_pad(y, d), cfg.kernel, d)
         tu = lifting.forward_plane(lifting.wavelet_pad(c1, d), cfg.kernel, d)
         tv = lifting.forward_plane(lifting.wavelet_pad(c2, d), cfg.kernel, d)
@@ -157,18 +172,32 @@ class Encoder:
 
     # ---- host side ----
 
+    def _put_planes(self, picture: Picture):
+        """Host->device input transfer at the narrowest exact width: 3x10-bit
+        words for 10-bit video, int8 for <=8-bit, int16 otherwise."""
+        depth = max(self.cfg.luma_depth, self.cfg.chroma_depth)
+        planes = (picture.y, picture.c1, picture.c2)
+        if depth == 10:
+            def pack(a):
+                v = (np.asarray(a, np.int32).ravel() + 512).astype(np.uint32)
+                pad = (-v.size) % 3
+                if pad:
+                    v = np.concatenate([v, np.zeros(pad, np.uint32)])
+                return jnp.asarray((v[0::3] << 20) | (v[1::3] << 10) | v[2::3])
+
+            return tuple(pack(p) for p in planes), True
+        dt = jnp.int8 if depth <= 8 else (jnp.int16 if depth <= 16
+                                          else jnp.int32)
+        return tuple(jnp.asarray(p, dt) for p in planes), False
+
     def encode_picture(self, picture: Picture, keep_planes: bool = False,
                        ) -> EncodedPicture:
         budgets = (jnp.asarray(self.slice_budgets.ravel())
                    if self.slice_budgets is not None
                    else jnp.zeros((self.geo.n_slices,), jnp.int32))
-        # samples fit int16 for bit depths <= 16 — halves the host->device copy
-        dt = (jnp.int16 if max(self.cfg.luma_depth, self.cfg.chroma_depth) <= 16
-              else jnp.int32)
-        res = self._analyse(jnp.asarray(picture.y, dt),
-                            jnp.asarray(picture.c1, dt),
-                            jnp.asarray(picture.c2, dt),
-                            budgets, keep_planes=keep_planes)
+        (y, c1, c2), packed10 = self._put_planes(picture)
+        res = self._analyse(y, c1, c2, budgets, keep_planes=keep_planes,
+                            packed10=packed10)
         if not keep_planes:
             out = self._pack_on_device(res, budgets)
             if out is not None:
@@ -234,6 +263,11 @@ class Encoder:
                 self._cap = 1 << int(np.ceil(np.log2(total)))
                 buf_dev = self._pack_dispatch(res, budgets)
                 continue
+            # shrink the fetch capacity when it is >2x oversized (hysteresis
+            # avoids recompile thrash); takes effect next picture
+            want = 1 << max(14, int(np.ceil(np.log2(max(total, 1) * 13 // 10))))
+            if want <= self._cap // 2:
+                self._cap = want
             break
         if (q_idx > MAX_QINDEX).any():
             raise ValueError(
@@ -256,12 +290,9 @@ class Encoder:
         budgets = (jnp.asarray(self.slice_budgets.ravel())
                    if self.slice_budgets is not None
                    else jnp.zeros((self.geo.n_slices,), jnp.int32))
-        dt = (jnp.int16 if max(self.cfg.luma_depth, self.cfg.chroma_depth) <= 16
-              else jnp.int32)
-        res = self._analyse(jnp.asarray(picture.y, dt),
-                            jnp.asarray(picture.c1, dt),
-                            jnp.asarray(picture.c2, dt),
-                            budgets, keep_planes=False)
+        (y, c1, c2), packed10 = self._put_planes(picture)
+        res = self._analyse(y, c1, c2, budgets, keep_planes=False,
+                            packed10=packed10)
         buf_dev = self._pack_dispatch(res, budgets)
 
         def result() -> EncodedPicture:
