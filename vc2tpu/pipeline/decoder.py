@@ -80,6 +80,9 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
     bands_c = tuple(int(c) for c in
                     np.bincount(layout.lane_order(csh, csw, depth)[1]))
 
+    dims_y = lifting.band_dims(ys * lsh, xs * lsw, depth)
+    dims_c = lifting.band_dims(ys * csh, xs * csw, depth)
+
     def fn(combined, q_idx, qm_bands, widths=None):
         if widths is not None:
             qy, qu, qv = unpack_fixed(combined, widths)
@@ -87,15 +90,15 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
             qy = combined[:n * Ly].reshape(n, Ly).astype(jnp.int32)
             qu = combined[n * Ly:n * (Ly + Lc)].reshape(n, Lc).astype(jnp.int32)
             qv = combined[n * (Ly + Lc):].reshape(n, Lc).astype(jnp.int32)
-        ty = layout.lanes_to_plane(scale_banded(qy, q_idx, qm_bands, bands_y),
-                                   ys, xs, lsh, lsw, depth)
-        tu = layout.lanes_to_plane(scale_banded(qu, q_idx, qm_bands, bands_c),
-                                   ys, xs, csh, csw, depth)
-        tv = layout.lanes_to_plane(scale_banded(qv, q_idx, qm_bands, bands_c),
-                                   ys, xs, csh, csw, depth)
-        y = lifting.inverse_plane(ty, kernel, depth)[:out_lh, :out_lw]
-        c1 = lifting.inverse_plane(tu, kernel, depth)[:out_ch, :out_cw]
-        c2 = lifting.inverse_plane(tv, kernel, depth)[:out_ch, :out_cw]
+        by = lifting.lanes_to_bands(scale_banded(qy, q_idx, qm_bands, bands_y),
+                                    ys, xs, dims_y)
+        bu = lifting.lanes_to_bands(scale_banded(qu, q_idx, qm_bands, bands_c),
+                                    ys, xs, dims_c)
+        bv = lifting.lanes_to_bands(scale_banded(qv, q_idx, qm_bands, bands_c),
+                                    ys, xs, dims_c)
+        y = lifting.inverse_bands(by, kernel, depth)[:out_lh, :out_lw]
+        c1 = lifting.inverse_bands(bu, kernel, depth)[:out_ch, :out_cw]
+        c2 = lifting.inverse_bands(bv, kernel, depth)[:out_ch, :out_cw]
         out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
         if pack10:
             pad = (-out.shape[0]) % 3

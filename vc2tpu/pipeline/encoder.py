@@ -149,12 +149,13 @@ class Encoder:
             y = unpack(y, luma_h, g.luma_width)
             c1 = unpack(c1, chroma_h, g.chroma_width)
             c2 = unpack(c2, chroma_h, g.chroma_width)
-        ty = lifting.forward_plane(lifting.wavelet_pad(y, d), cfg.kernel, d)
-        tu = lifting.forward_plane(lifting.wavelet_pad(c1, d), cfg.kernel, d)
-        tv = lifting.forward_plane(lifting.wavelet_pad(c2, d), cfg.kernel, d)
-        ly = self._to_lanes(ty, False)
-        lu = self._to_lanes(tu, True)
-        lv = self._to_lanes(tv, True)
+        ys, xs = self.geo.y_slices, self.geo.x_slices
+        by = lifting.forward_bands(lifting.wavelet_pad(y, d), cfg.kernel, d)
+        bu = lifting.forward_bands(lifting.wavelet_pad(c1, d), cfg.kernel, d)
+        bv = lifting.forward_bands(lifting.wavelet_pad(c2, d), cfg.kernel, d)
+        ly = lifting.bands_to_lanes(by, ys, xs)
+        lu = lifting.bands_to_lanes(bu, ys, xs)
+        lv = lifting.bands_to_lanes(bv, ys, xs)
         qm = jnp.asarray(self.qm_bands)
         bs_y, bs_c = self.band_sizes_y, self.band_sizes_c
         if cfg.mode == Mode.HQ_CBR:
@@ -167,7 +168,9 @@ class Encoder:
                    qu=quant_banded(lu, q_idx, qm, bs_c),
                    qv=quant_banded(lv, q_idx, qm, bs_c))
         if keep_planes:
-            out.update(ty=ty, tu=tu, tv=tv)
+            out.update(ty=lifting.bands_to_inplace(by, d),
+                       tu=lifting.bands_to_inplace(bu, d),
+                       tv=lifting.bands_to_inplace(bv, d))
         return out
 
     # ---- host side ----

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vc2tpu.core.config import WaveletKernel
-from vc2tpu.wavelet.lifting import _STEPS, _apply_steps, _interleave, _shifted, _split
+from vc2tpu.wavelet.lifting import _STEPS, _apply_steps, _interleave, _split
 from vc2tpu.wavelet.matrices import TRANSFORM_SHIFT
 
 def halo_width(kernel: WaveletKernel) -> int:

@@ -66,40 +66,33 @@ _STEPS = {
 _STEPS[WaveletKernel.Haar1] = _STEPS[WaveletKernel.Haar0]
 
 
-def _shifted(a, k: int, axis: int):
-    """a[..., i+k, ...] with edge clamp along ``axis``."""
-    if k == 0:
-        return a
-    n = a.shape[axis]
-
-    def sl(lo, hi):
-        idx = [slice(None)] * a.ndim
-        idx[axis] = slice(lo, hi)
-        return a[tuple(idx)]
-
-    if k > 0:
-        body = sl(k, n)
-        edge = sl(n - 1, n)
-        reps = [1] * a.ndim
-        reps[axis] = min(k, n)
-        pad = jnp.tile(edge, reps)
-        return jnp.concatenate([body, pad], axis=axis) if k < n else pad
-    body = sl(0, n + k)
-    edge = sl(0, 1)
-    reps = [1] * a.ndim
-    reps[axis] = min(-k, n)
-    pad = jnp.tile(edge, reps)
-    return jnp.concatenate([pad, body], axis=axis) if -k < n else pad
+def _axslice(a, lo: int, n: int, axis: int):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(lo, lo + n)
+    return a[tuple(idx)]
 
 
 def _apply_steps(e, o, steps, axis: int, invert: bool):
+    """One predict/update ladder. The reference clamps tap indices to
+    [0, n-1] (WaveletTransform.cpp:495-498); edge-replication padding is the
+    same arithmetic, and padding ONCE per step lets every tap be a fused
+    slice of the padded buffer instead of its own concatenated copy."""
     if invert:
         steps = [(t, -s, taps, add, sh) for (t, s, taps, add, sh) in reversed(steps)]
     for target, sign, taps, add, sh in steps:
         src = e if target == "o" else o
+        n = src.shape[axis]
+        lo = min(0, min(off for off, _ in taps))
+        hi = max(0, max(off for off, _ in taps))
+        if lo or hi:
+            pad = [(0, 0)] * src.ndim
+            pad[axis] = (-lo, hi)
+            padded = jnp.pad(src, pad, mode="edge")
+        else:
+            padded = src
         acc = None
         for off, coeff in taps:
-            term = coeff * _shifted(src, off, axis)
+            term = coeff * _axslice(padded, off - lo, n, axis)
             acc = term if acc is None else acc + term
         if sh:
             delta = (acc + add) >> sh
@@ -169,6 +162,30 @@ def wavelet_pad(plane, depth: int):
     return jnp.pad(plane, pad, mode="edge")
 
 
+def _get_sub(x, s: int):
+    """x[..., ::s, ::s] by recursive halving (s is a power of two); the
+    stride-2 slices lower to cheap shuffles where a general strided gather
+    does not."""
+    if s == 1:
+        return x
+    return _get_sub(x[..., 0::2, 0::2], s // 2)
+
+def _set_sub(x, v, s: int):
+    """x with the (::s, ::s) sub-lattice replaced by ``v``. Recursive
+    stride-2 split + stack-interleave: a strided scatter
+    (`.at[::s, ::s].set`) costs ~50x more than the lifting arithmetic on
+    TPU, while this pattern fuses."""
+    if s == 1:
+        return v
+    er = x[..., 0::2, :]
+    if s > 2:
+        sub = _set_sub(er[..., 0::2], v, s // 2)
+    else:
+        sub = v
+    er = _interleave(sub, er[..., 1::2], er.ndim - 1)
+    return _interleave(er, x[..., 1::2, :], x.ndim - 2)
+
+
 def forward_plane(plane, kernel: WaveletKernel, depth: int):
     """Forward DWT of an already-padded plane, in-place transform layout
     (reference WaveletTransform.cpp:262-281). Levels run on the ``::2**level``
@@ -179,9 +196,8 @@ def forward_plane(plane, kernel: WaveletKernel, depth: int):
         if s == 1:
             x = lift_level(x, kernel)
         else:
-            v = x[..., ::s, ::s]
-            v = lift_level(v, kernel)
-            x = x.at[..., ::s, ::s].set(v)
+            v = lift_level(_get_sub(x, s), kernel)
+            x = _set_sub(x, v, s)
     return x
 
 
@@ -194,10 +210,126 @@ def inverse_plane(transform, kernel: WaveletKernel, depth: int):
         if s == 1:
             x = lift_level(x, kernel, invert=True)
         else:
-            v = x[..., ::s, ::s]
-            v = lift_level(v, kernel, invert=True)
-            x = x.at[..., ::s, ::s].set(v)
+            v = lift_level(_get_sub(x, s), kernel, invert=True)
+            x = _set_sub(x, v, s)
     return x
+
+
+# --- Mallat (contiguous-subband) form ---------------------------------------
+# The slice-lane serialisation order is subband-major (slices/layout
+# .lane_order), so the hot paths keep subbands as separate contiguous arrays:
+# no strided sub-lattice access at all. Band order matches lane_order /
+# quant_matrix indexing: [LL, then per level coarsest->finest HL, LH, HH].
+# The interleaved in-place layout of the reference exists only for the
+# compatibility taps (bands_to_inplace / inplace_to_bands).
+
+def forward_bands(plane, kernel: WaveletKernel, depth: int):
+    """Forward DWT of an already-padded plane as a list of subband arrays."""
+    x = jnp.asarray(plane, jnp.int32)
+    steps = _STEPS[kernel]
+    shift = TRANSFORM_SHIFT[kernel]
+    h_axis, v_axis = x.ndim - 1, x.ndim - 2
+    fine_to_coarse = []
+    for _ in range(depth):
+        if shift:
+            x = x << shift
+        he, ho = _split(x, h_axis)
+        he, ho = _apply_steps(he, ho, steps, h_axis, invert=False)
+        ll, lh = _apply_steps(*_split(he, v_axis), steps, v_axis, invert=False)
+        hl, hh = _apply_steps(*_split(ho, v_axis), steps, v_axis, invert=False)
+        fine_to_coarse.append((hl, lh, hh))
+        x = ll
+    bands = [x]
+    for lvl in reversed(fine_to_coarse):
+        bands.extend(lvl)
+    return bands
+
+
+def inverse_bands(bands, kernel: WaveletKernel, depth: int):
+    """Inverse DWT from subband arrays back to the spatial plane."""
+    steps = _STEPS[kernel]
+    shift = TRANSFORM_SHIFT[kernel]
+    x = bands[0]
+    h_axis, v_axis = x.ndim - 1, x.ndim - 2
+    for level in range(depth):                      # coarsest -> finest
+        hl, lh, hh = bands[1 + 3 * level:4 + 3 * level]
+        ve, vo = _apply_steps(x, lh, steps, v_axis, invert=True)
+        he = _interleave(ve, vo, v_axis)
+        ve, vo = _apply_steps(hl, hh, steps, v_axis, invert=True)
+        ho = _interleave(ve, vo, v_axis)
+        he, ho = _apply_steps(he, ho, steps, h_axis, invert=True)
+        x = _interleave(he, ho, h_axis)
+        if shift:
+            x = (x + (1 << (shift - 1))) >> shift
+    return x
+
+
+def band_dims(padded_h: int, padded_w: int, depth: int):
+    """(h, w) of each band in forward_bands order."""
+    dims = [(padded_h >> depth, padded_w >> depth)]
+    for level in range(1, depth + 1):
+        s = 1 << (depth + 1 - level)
+        dims.extend([(padded_h // s, padded_w // s)] * 3)
+    return dims
+
+
+def bands_to_inplace(bands, depth: int):
+    """Assemble the reference's interleaved in-place transform layout
+    (compat taps; reference split_into_subbands inverse,
+    WaveletTransform.cpp:428-476)."""
+    x = bands[0]
+    for level in range(depth):
+        hl, lh, hh = bands[1 + 3 * level:4 + 3 * level]
+        even = _interleave(x, hl, x.ndim - 1)
+        odd = _interleave(lh, hh, x.ndim - 1)
+        x = _interleave(even, odd, x.ndim - 2)
+    return x
+
+
+def inplace_to_bands(x, depth: int):
+    """Split the interleaved layout into subband arrays (compat paths)."""
+    fine_to_coarse = []
+    for _ in range(depth):
+        er, orow = _split(x, x.ndim - 2)
+        ll, hl = _split(er, x.ndim - 1)
+        lh, hh = _split(orow, x.ndim - 1)
+        fine_to_coarse.append((hl, lh, hh))
+        x = ll
+    bands = [x]
+    for lvl in reversed(fine_to_coarse):
+        bands.extend(lvl)
+    return bands
+
+
+def bands_to_lanes(bands, y_slices: int, x_slices: int):
+    """Subband arrays -> (..., nSlices, L) lanes in serialisation order
+    (band-major, raster within each band's slice sub-block) — pure
+    reshape/transpose, replacing the permutation gather of plane_to_lanes."""
+    parts = []
+    for b in bands:
+        h, w = b.shape[-2], b.shape[-1]
+        sh, sw = h // y_slices, w // x_slices
+        lead = b.shape[:-2]
+        t = b.reshape(lead + (y_slices, sh, x_slices, sw))
+        axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
+        t = t.transpose(axes) if isinstance(t, jnp.ndarray) else t.transpose(axes)
+        parts.append(t.reshape(lead + (y_slices * x_slices, sh * sw)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def lanes_to_bands(lanes, y_slices: int, x_slices: int, dims):
+    """Inverse of bands_to_lanes; ``dims`` from band_dims."""
+    bands = []
+    pos = 0
+    lead = lanes.shape[:-2]
+    for (h, w) in dims:
+        sh, sw = h // y_slices, w // x_slices
+        L = sh * sw
+        t = lanes[..., pos:pos + L].reshape(lead + (y_slices, x_slices, sh, sw))
+        axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
+        bands.append(t.transpose(axes).reshape(lead + (h, w)))
+        pos += L
+    return bands
 
 
 def forward_picture(picture, kernel: WaveletKernel, depth: int):
