@@ -18,7 +18,8 @@ from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
                                 WaveletKernel)
 from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
 from vc2tpu.core.planario import SampleFormat, write_picture
-from vc2tpu.pipeline.decoder import synthesise_lanes, synthesise_to_words
+from vc2tpu.pipeline.decoder import (synthesise_batch_to_words,
+                                     synthesise_lanes, synthesise_to_words)
 from vc2tpu.pipeline.encoder import SliceGeometry
 from vc2tpu.pipeline import ld as ld_pipeline
 from vc2tpu.slices import layout
@@ -72,9 +73,17 @@ class Decoder:
         self.frags: dict[int, _FragState] = {}
         self.frames_out = 0
         self._pending = []            # FIFO of (device words, post) in flight
-        self._depth = 2               # frames in flight before blocking
+        self._depth = 2               # dispatches in flight before blocking
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
+        self._batch = []              # staged (combined, q_idx) frames
+        self._batch_meta = None       # dispatch params of the staged frames
+        self._batch_key = None        # hashable geometry key of the stage
+        # frames per device dispatch: >1 stages frames into one vmapped
+        # dispatch + one fetch. Measured on the tunnel-attached chip the
+        # per-frame pipeline overlaps better (batching adds a host-side
+        # fixedpack burst before any device work), so default to 1.
+        self._batch_size = 1
 
     def log(self, msg):
         if self.verbose:
@@ -86,10 +95,33 @@ class Decoder:
     def _flush(self, keep: int = 0):
         while len(self._pending) > keep:
             words, post = self._pending.pop(0)
-            self.sink.write(post(np.asarray(words)))
-            self.frames_out += 1
+            out = post(np.asarray(words))
+            if isinstance(out, bytes):
+                out = [out]
+            for chunk in out:
+                self.sink.write(chunk)
+                self.frames_out += 1
+
+    def _dispatch_batch(self):
+        if not self._batch:
+            return
+        (qmatrix, kernel, depth, geo, out_geom, bitdepth) = self._batch_meta
+        frames = self._batch
+        self._batch = []
+        real = len(frames)
+        pad = self._batch_size - real          # keep one compiled batch size
+        frames = frames + [frames[0]] * pad
+        words, post = synthesise_batch_to_words(
+            frames, qmatrix, kernel, depth, geo, out_geom, bitdepth)
+        if pad:
+            inner = post
+            post = lambda a: inner(a)[:real]
+        self._flush(keep=self._depth - 1)
+        self._pending.append((words, post))
+        self.frame += real
 
     def _write(self, data: bytes):
+        self._dispatch_batch()
         self._flush()
         self.sink.write(data)
 
@@ -194,6 +226,24 @@ class Decoder:
             if combined is None:
                 combined = np.concatenate(
                     [np.asarray(a).ravel() for a in (ly, lu, lv)]).astype(np.int32)
+            if (self._batch_size > 1 and not hdr.interlace
+                    and isinstance(combined, np.ndarray)
+                    and combined.dtype == np.int16):
+                # stage for the batched dispatch (one transfer per B frames)
+                key = (pre.wavelet_kernel, pre.depth, geo.y_slices,
+                       geo.x_slices, geo.luma_slice, geo.chroma_slice,
+                       out_geom.luma_height, out_geom.luma_width,
+                       hdr.bitdepth)
+                if self._batch and self._batch_key != key:
+                    self._dispatch_batch()
+                self._batch_key = key
+                self._batch_meta = (qmatrix, pre.wavelet_kernel, pre.depth,
+                                    geo, out_geom, hdr.bitdepth)
+                self._batch.append((combined, q_idx))
+                if len(self._batch) >= self._batch_size:
+                    self._dispatch_batch()
+                return
+            self._dispatch_batch()
             words, post = synthesise_to_words(
                 combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
                 geo, out_geom, hdr.bitdepth,
@@ -254,6 +304,7 @@ class Decoder:
         rd.r.seek(rd.r.byte_pos - 4)
         while True:
             if rd.eof():
+                self._dispatch_batch()
                 self._flush()
                 self.log("End of data stream reached successfully, exiting.")
                 return 0
