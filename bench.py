@@ -131,6 +131,28 @@ def main() -> int:
           f"(ref {BASELINE_DECODE_FPS}, {dec_fps / BASELINE_DECODE_FPS:.1f}x)",
           file=sys.stderr)
 
+    # secondary: 4K CBR encode (BASELINE.json config #4 single-chip leg)
+    try:
+        k4 = EncoderConfig(height=2160, width=3840,
+                           chroma_format=ColourFormat.CF422,
+                           kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                           y_size=2, x_size=2, mode=Mode.HQ_CBR,
+                           luma_depth=bits, chroma_depth=bits,
+                           frame_rate=FrameRate.FR50,
+                           compressed_bytes=4 * 829440, slice_scalar=2)
+        enc4 = Encoder(k4)
+        f4 = synth_frames(3, 2160, 3840, bits, seed=11)
+        p4 = [Picture(y - offset, c1 - offset, c2 - offset, ColourFormat.CF422)
+              for (y, c1, c2) in f4]
+        enc4.encode_picture(p4[0])
+        t0 = time.perf_counter()
+        for r in [enc4.encode_picture_async(p) for p in p4]:
+            r()
+        fps4 = len(p4) / (time.perf_counter() - t0)
+        print(f"bench: 4K CBR encode {fps4:.2f} fps", file=sys.stderr)
+    except Exception as exc:                      # secondary must not kill bench
+        print(f"bench: 4K CBR encode skipped ({exc})", file=sys.stderr)
+
     print(json.dumps({"metric": "hq_decode_1080p_fps",
                       "value": round(dec_fps, 3), "unit": "frames/s",
                       "vs_baseline": round(dec_fps / BASELINE_DECODE_FPS, 3)}))
