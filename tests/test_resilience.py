@@ -1,0 +1,43 @@
+"""Stream resilience: corrupt pictures are skipped, decode continues
+(reference DecodeStream.cpp:515-518 + dataunitio::synchronise)."""
+
+import io
+import pathlib
+
+from vc2tpu.cli.decode_stream import Decoder
+
+GOLDEN = pathlib.Path(__file__).resolve().parent / "golden"
+
+
+def _parse_infos(stream: bytes):
+    idx = []
+    p = stream.find(b"BBCD")
+    while p != -1:
+        idx.append(p)
+        p = stream.find(b"BBCD", p + 4)
+    return idx
+
+
+def test_corrupt_picture_is_skipped(capsys):
+    stream = bytearray((GOLDEN / "constq_legall_d2.vc2").read_bytes())
+    ref = (GOLDEN / "constq_legall_d2.dec.16p2").read_bytes()
+    pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xE8]
+    assert len(pics) == 2
+    # blow up a late slice-length byte so the second picture's chain overruns
+    stream[pics[-1] + 13 + 1990] = 0xFF
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(bytes(stream)) == 0
+    frame_bytes = len(ref) // 2
+    assert dec.frames_out == 1
+    assert sink.getvalue()[:frame_bytes] == ref[:frame_bytes]
+
+
+def test_garbage_prefix_resync():
+    stream = (GOLDEN / "constq_legall_d2.vc2").read_bytes()
+    ref = (GOLDEN / "constq_legall_d2.dec.16p2").read_bytes()
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(b"\x00garbage\xff" * 3 + stream) == 0
+    assert dec.frames_out == 2
+    assert sink.getvalue() == ref

@@ -320,29 +320,49 @@ class Decoder:
                 rd.r.seek(rd.r.byte_pos + next_off - 13)
             elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
                 hq = du_type == DataUnitType.HQ_PICTURE
-                _picnum = rd.read_picture_number()
-                pre = rd.read_preamble(hq)
-                if self.hdr is None:
-                    self.log("Cannot decode frame, no previous sequence header!")
-                    continue
-                payload = np.frombuffer(data, dtype=np.uint8)
-                geo, pic_h, q_idx, ly, lu, lv = self._decode_picture_payload(
-                    pre, payload, hq, start=rd.r.byte_pos)
-                # advance the reader over the slice payload
-                if hq:
-                    from vc2tpu.slices.hq import scan_hq_slice_offsets
+                body_start = rd.r.byte_pos
+                try:
+                    _picnum = rd.read_picture_number()
+                    pre = rd.read_preamble(hq)
+                    if self.hdr is None:
+                        self.log(
+                            "Cannot decode frame, no previous sequence header!")
+                        continue
+                    payload = np.frombuffer(data, dtype=np.uint8)
+                    geo, pic_h, q_idx, ly, lu, lv = \
+                        self._decode_picture_payload(pre, payload, hq,
+                                                     start=rd.r.byte_pos)
+                    # advance the reader over the slice payload
+                    if hq:
+                        from vc2tpu.slices.hq import scan_hq_slice_offsets
 
-                    _, _, _, end = scan_hq_slice_offsets(
-                        payload, geo.n_slices, pre.slice_prefix,
-                        pre.slice_size_scalar, rd.r.byte_pos)
-                else:
-                    compressed = (pre.slice_bytes_numerator * geo.n_slices
-                                  // pre.slice_bytes_denominator)
-                    pb = compressed // 2 if self.hdr.interlace else compressed
-                    end = rd.r.byte_pos + int(layout.slice_bytes_map(
-                        geo.y_slices, geo.x_slices, pb, 1).sum())
-                rd.r.seek(end)
-                self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv, hq)
+                        _, _, _, end = scan_hq_slice_offsets(
+                            payload, geo.n_slices, pre.slice_prefix,
+                            pre.slice_size_scalar, rd.r.byte_pos)
+                    else:
+                        compressed = (pre.slice_bytes_numerator * geo.n_slices
+                                      // pre.slice_bytes_denominator)
+                        pb = (compressed // 2 if self.hdr.interlace
+                              else compressed)
+                        end = rd.r.byte_pos + int(layout.slice_bytes_map(
+                            geo.y_slices, geo.x_slices, pb, 1).sum())
+                    rd.r.seek(end)
+                    self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv,
+                                         hq)
+                except Exception as exc:
+                    # decode continues past a corrupt picture, skipping to the
+                    # next parse_info (reference DecodeStream.cpp:515-518 plus
+                    # dataunitio::synchronise resync)
+                    print(f"Failed to read {'HQ' if hq else 'LD'} compressed "
+                          f"frame ({exc})", file=sys.stderr)
+                    if next_off >= 13:
+                        rd.r.seek(body_start - 13 + next_off)
+                    elif not rd.synchronise():
+                        self._dispatch_batch()
+                        self._flush()
+                        return 0
+                    else:
+                        rd.r.seek(rd.r.byte_pos - 4)
             elif du_type in (DataUnitType.HQ_FRAGMENT, DataUnitType.LD_FRAGMENT):
                 hq = du_type == DataUnitType.HQ_FRAGMENT
                 picnum = rd.read_picture_number()

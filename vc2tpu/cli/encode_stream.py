@@ -127,6 +127,7 @@ def run(args) -> int:
             top_field_first=cfg.top_field_first, bitdepth=cfg.luma_depth))
 
     frame = 0
+    all_q_indices = []          # quantiser-index stats (EncodeStream.cpp:676)
     keep_planes = output in (EncOutput.TRANSFORM, EncOutput.QUANTISED,
                              EncOutput.DECODED, EncOutput.PSNR)
     sig_fmt = SampleFormat(word_width=4, signed=True, offset=False)
@@ -209,7 +210,14 @@ def run(args) -> int:
             if verbose:
                 print(f"PSNR Y/U/V = {ypsnr:.4f} {upsnr:.4f} {vpsnr:.4f}",
                       file=sys.stderr)
+        all_q_indices.extend(frame_q_indices)
         frame += 1
+    if verbose and output != EncOutput.TRANSFORM and all_q_indices:
+        qi = np.concatenate(all_q_indices).astype(np.float64)
+        mean = float(qi.mean())
+        std = float(np.sqrt(max((qi * qi).mean() - mean * mean, 0.0)))
+        print(f"Mean, Standard Deviation of quantiser index = {mean:.2f}, "
+              f"{std:.2f}", file=sys.stderr)
     if output == EncOutput.STREAM:
         writer.end_sequence()
     if args.inFile != "-":
