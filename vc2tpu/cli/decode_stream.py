@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-o", "--output", default="Decoded",
                    choices=[o.value for o in DecOutput])
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(view with TensorBoard / xprof)")
     return p
 
 
@@ -405,11 +408,20 @@ def main(argv=None) -> int:
             else open(args.inFile, "rb").read())
     sink = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
     dec = Decoder(output=DecOutput(args.output), verbose=args.verbose, sink=sink)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     try:
         rc = dec.run(data)
     except Exception as exc:
         print(f"Error: {exc}")
         return 1
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
     if args.outFile != "-":
         sink.close()
     return rc

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-F", "--fragmentLength", type=int, default=0)
     p.add_argument("-s", "--compressedBytes", type=int, default=0)
     p.add_argument("-q", "--quantIndex", type=int, default=0)
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(view with TensorBoard / xprof)")
     return p
 
 
@@ -229,11 +232,20 @@ def run(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     try:
         return run(args)
     except Exception as exc:  # mirror reference's catch-all (EncodeStream.cpp:782)
         print(f"Error: {exc}")
         return 1
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":
