@@ -340,11 +340,29 @@ static inline int qoffset_i32(int q) {
   return (qf_i32(q) + 1) / 2;
 }
 
+static double kQfRecip[120];
+static bool init_recip() {
+  for (int q = 0; q < 120; ++q) kQfRecip[q] = 1.0 / qf_i32(q);
+  return true;
+}
+static const bool kRecipInit = init_recip();
+
 static inline int c_quant(int value, int q) {  // Quantisation.cpp:69-76
   bool neg = value < 0;
   if (neg) value = -value;
   value <<= 2;
-  value /= qf_i32(q);
+  const int qf = qf_i32(q);
+  if (qf > 0) {
+    // multiply by reciprocal + exact fix-up: integer divide is the hot-loop
+    // cost of the LD trial-quantise search
+    int qq = static_cast<int>(static_cast<double>(value) * kQfRecip[q]);
+    int r = value - qq * qf;
+    if (r < 0) --qq;
+    else if (r >= qf) ++qq;
+    value = qq;
+  } else {
+    value /= qf;   // int32-wrapped table entries (q >= 116)
+  }
   return neg ? -value : value;
 }
 

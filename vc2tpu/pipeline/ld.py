@@ -52,21 +52,46 @@ class LDEncoder:
         self.slice_budgets = layout.slice_bytes_map(
             self.geo.y_slices, self.geo.x_slices, self.picture_bytes, 1)
 
-        def dwt(y, c1, c2):
-            return (lifting.forward_plane(lifting.wavelet_pad(y, d), cfg.kernel, d),
-                    lifting.forward_plane(lifting.wavelet_pad(c1, d), cfg.kernel, d),
-                    lifting.forward_plane(lifting.wavelet_pad(c2, d), cfg.kernel, d))
+        def dwt_planes(y, c1, c2):
+            return tuple(
+                lifting.bands_to_inplace(
+                    lifting.forward_bands(lifting.wavelet_pad(p, d),
+                                          cfg.kernel, d), d)
+                for p in (y, c1, c2))
 
-        self._dwt = jax.jit(dwt)
+        def dwt16(y, c1, c2):
+            """One int16 fetch: [y|u|v|overflow-flag]; the host falls back to
+            the int32 variant in the (rare) case a coefficient exceeds
+            int16."""
+            ty, tu, tv = dwt_planes(y, c1, c2)
+            parts = [t.ravel() for t in (ty, tu, tv)]
+            flat = jnp.concatenate(parts)
+            flag = jnp.any(jnp.abs(flat) > 32767).astype(jnp.int16)
+            return jnp.concatenate([flat.astype(jnp.int16), flag[None]])
+
+        self._dwt16 = jax.jit(dwt16)
+        self._dwt32 = jax.jit(dwt_planes)
 
     def encode_picture(self, picture: Picture, keep_planes: bool = False,
                        ) -> EncodedPicture:
         cfg = self.cfg
         geo = self.geo
-        ty, tu, tv = self._dwt(jnp.asarray(picture.y, jnp.int32),
-                               jnp.asarray(picture.c1, jnp.int32),
-                               jnp.asarray(picture.c2, jnp.int32))
-        ty, tu, tv = (np.ascontiguousarray(np.asarray(a)) for a in (ty, tu, tv))
+        dt = (jnp.int16 if max(cfg.luma_depth, cfg.chroma_depth) <= 16
+              else jnp.int32)
+        y = jnp.asarray(picture.y, dt)
+        c1 = jnp.asarray(picture.c1, dt)
+        c2 = jnp.asarray(picture.c2, dt)
+        buf = np.asarray(self._dwt16(y, c1, c2))
+        if buf[-1]:
+            ty, tu, tv = self._dwt32(y, c1, c2)
+            ty, tu, tv = (np.ascontiguousarray(np.asarray(a), np.int32)
+                          for a in (ty, tu, tv))
+        else:
+            (H, W), (CH, CW) = self.geo.padded_luma, self.geo.padded_chroma
+            ny, nc = H * W, CH * CW
+            ty = buf[:ny].astype(np.int32).reshape(H, W)
+            tu = buf[ny:ny + nc].astype(np.int32).reshape(CH, CW)
+            tv = buf[ny + nc:ny + 2 * nc].astype(np.int32).reshape(CH, CW)
         H, W = geo.padded_luma
         CH, CW = geo.padded_chroma
         n = geo.n_slices

@@ -215,6 +215,26 @@ def inverse_plane(transform, kernel: WaveletKernel, depth: int):
     return x
 
 
+def coefficient_bound(kernel: WaveletKernel, depth: int, input_max: int) -> int:
+    """Safe upper bound on |coefficient| after the forward transform,
+    propagated step-by-step through the lifting ladder (both axes, all
+    levels, including the accuracy shift). Used to pick the narrowest exact
+    transfer dtype."""
+    steps = _STEPS[kernel]
+    shift = TRANSFORM_SHIFT[kernel]
+    m = int(input_max)
+    for _ in range(depth):
+        m <<= shift
+        for _axis in range(2):
+            bounds = {"e": m, "o": m}
+            for target, _sign, taps, add, sh in steps:
+                src = "e" if target == "o" else "o"
+                acc = sum(abs(c) for _off, c in taps) * bounds[src] + add
+                bounds[target] = bounds[target] + (acc >> sh if sh else acc)
+            m = max(bounds.values())
+    return m
+
+
 # --- Mallat (contiguous-subband) form ---------------------------------------
 # The slice-lane serialisation order is subband-major (slices/layout
 # .lane_order), so the hot paths keep subbands as separate contiguous arrays:
