@@ -1,0 +1,82 @@
+"""Exhaustive exactness of quant/scale vs the reference C semantics.
+
+The TPU implementations replace integer division with a float32-reciprocal
+estimate + integer fix-up (quant) and shifts (scale); this sweep pins them
+against a literal int32-wrapping model of Quantisation.cpp:69-95 over every
+quantiser index and the full legal coefficient range envelope.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vc2tpu.quant.quantiser import (QUANT_FACTORS_I32, QUANT_OFFSETS, quant,
+                                    quant_banded, scale, scale_banded)
+
+
+def _w32(x):
+    x &= 0xFFFFFFFF
+    return x - 2 ** 32 if x >= 2 ** 31 else x
+
+
+def ref_quant(v, q):
+    qf = int(QUANT_FACTORS_I32[q])
+    neg = v < 0
+    x = _w32(abs(v) << 2)
+    r = abs(x) // abs(qf)
+    r = -r if (x < 0) ^ (qf < 0) else r
+    return -r if neg else r
+
+
+def ref_scale(v, q):
+    qf = int(QUANT_FACTORS_I32[q])
+    qo = int(QUANT_OFFSETS[q])
+    neg = v < 0
+    p = _w32(abs(v) * qf)
+    if p > 0:
+        p = _w32(p + qo)
+    p = _w32(p + 2)
+    r = abs(p) // 4
+    r = -r if p < 0 else r
+    return -r if neg else r
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    rng = np.random.default_rng(1)
+    vals = np.concatenate([
+        rng.integers(-(1 << 21), 1 << 21, 3000),
+        np.arange(-64, 65),
+        np.array([(1 << 21) - 1, -(1 << 21) + 1, 1 << 20, -(1 << 20)]),
+    ]).astype(np.int32)
+    qs = np.arange(0, 120, dtype=np.int32)
+    V = jnp.asarray(np.tile(vals, (len(qs), 1)))
+    Q = jnp.asarray(np.repeat(qs, len(vals)).reshape(len(qs), len(vals)))
+    return vals, qs, V, Q
+
+
+def test_quant_exact(sweep):
+    vals, qs, V, Q = sweep
+    got = np.asarray(quant(V, Q))
+    exp = np.array([[ref_quant(int(v), int(q)) for v in vals] for q in qs])
+    assert np.array_equal(got, exp)
+
+
+def test_scale_exact(sweep):
+    vals, qs, V, Q = sweep
+    got = np.asarray(scale(V, Q))
+    exp = np.array([[ref_scale(int(v), int(q)) for v in vals] for q in qs])
+    assert np.array_equal(got, exp)
+
+
+def test_banded_matches_elementwise(sweep):
+    vals, qs, V, Q = sweep
+    # one band per lane group: qm zeros -> aq == q, sizes cover the lanes
+    n = V.shape[1]
+    sizes = (n // 2, n - n // 2)
+    qm = jnp.zeros((2,), jnp.int32)
+    q_per_row = jnp.asarray(qs)
+    assert np.array_equal(np.asarray(quant_banded(V, q_per_row, qm, sizes)),
+                          np.asarray(quant(V, Q)))
+    assert np.array_equal(np.asarray(scale_banded(V, q_per_row, qm, sizes)),
+                          np.asarray(scale(V, Q)))
