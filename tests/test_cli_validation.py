@@ -1,0 +1,41 @@
+"""Encoder CLI cross-flag validation matrix parity
+(reference EncodeParams.cpp:139-204)."""
+
+import pytest
+
+from vc2tpu.cli.encode_stream import build_parser, config_from_args
+
+BASE = ["in", "out", "-x", "64", "-y", "32", "-f", "4:2:2", "-k", "LeGall",
+        "-d", "2", "-u", "1", "-a", "2"]
+
+
+def _cfg(extra):
+    return config_from_args(build_parser().parse_args(BASE + extra))
+
+
+@pytest.mark.parametrize("extra,msg", [
+    (["-m", "HQ_ConstQ", "-q", "20", "-z", "10", "-l", "10"],
+     "bitDepth is incompatible"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-i", "-p"], "both interlaced and progressive"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-p", "-t"], "field parity is incompatible"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-t", "-b"], "both top field first and bottom"),
+    (["-m", "LD", "-s", "2048", "-S", "2"], "Slice Scalar is only used"),
+    (["-m", "LD", "-s", "2048", "-P", "1"], "Slice Prefix is only used"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-F", "512"], "Fragment length is only used"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-s", "2048"], "Compressed bytes is only used"),
+    (["-m", "HQ_CBR", "-s", "2048", "-q", "20"], "Quantisation index is only used"),
+    (["-m", "HQ_CBR"], "Compressed bytes must be set"),
+    (["-m", "HQ_ConstQ"], "Quantisation index must be set"),
+    (["-m", "HQ_ConstQ", "-q", "120"], "range 0 to 119"),
+    (["-m", "HQ_CBR", "-s", "0"], "compressed bytes must be >0"),
+])
+def test_invalid_combinations(extra, msg):
+    with pytest.raises(ValueError, match=msg):
+        cfg = _cfg(extra)
+        cfg.validate()
+
+
+def test_valid_configs():
+    _cfg(["-m", "HQ_ConstQ", "-q", "20"]).validate()
+    _cfg(["-m", "HQ_CBR", "-s", "2048", "-S", "2", "-P", "1"]).validate()
+    _cfg(["-m", "LD", "-s", "2048", "-F", "512"]).validate()

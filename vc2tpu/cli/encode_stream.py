@@ -56,11 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-x", "--width", type=int, required=True)
     p.add_argument("-y", "--height", type=int, required=True)
     p.add_argument("-r", "--framerate", type=int, default=3)
-    p.add_argument("-S", "--scalar", type=int, default=1)
-    p.add_argument("-P", "--prefix", type=int, default=0)
-    p.add_argument("-F", "--fragmentLength", type=int, default=0)
-    p.add_argument("-s", "--compressedBytes", type=int, default=0)
-    p.add_argument("-q", "--quantIndex", type=int, default=0)
+    p.add_argument("-S", "--scalar", type=int, default=None)
+    p.add_argument("-P", "--prefix", type=int, default=None)
+    p.add_argument("-F", "--fragmentLength", type=int, default=None)
+    p.add_argument("-s", "--compressedBytes", type=int, default=None)
+    p.add_argument("-q", "--quantIndex", type=int, default=None)
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
@@ -68,9 +68,45 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> EncoderConfig:
+    """Cross-flag validation matrix of the reference CLI
+    (/root/reference/src/EncodeStream/EncodeParams.cpp:139-204)."""
+    mode = Mode(args.mode)
+    hq = mode in (Mode.HQ_CBR, Mode.HQ_ConstQ)
+    rate = mode in (Mode.HQ_CBR, Mode.LD)
+    if args.bitDepth and (args.lumaDepth or args.chromaDepth):
+        raise ValueError("bitDepth is incompatible with luma depth (and/or "
+                         "chroma depth): use one or the other")
+    if args.progressive and args.interlace:
+        raise ValueError("image can't be both interlaced and progressive: "
+                         "specify one or the other")
+    if args.progressive and (args.topFieldFirst or args.bottomFieldFirst):
+        raise ValueError("field parity is incompatible with progressive image")
+    if args.topFieldFirst and args.bottomFieldFirst:
+        raise ValueError("image can't be both top field first and bottom "
+                         "field first: specify one or the other")
+    if not hq and args.scalar is not None:
+        raise ValueError("Slice Scalar is only used in HQ_CBR and HQ_ConstQ modes")
+    if not hq and args.prefix is not None:
+        raise ValueError("Slice Prefix is only used in HQ_CBR and HQ_ConstQ modes")
+    if not rate and args.fragmentLength is not None:
+        raise ValueError("Fragment length is only used in HQ_CBR and LD modes")
+    if not rate and args.compressedBytes is not None:
+        raise ValueError("Compressed bytes is only used in HQ_CBR and LD modes")
+    if mode != Mode.HQ_ConstQ and args.quantIndex is not None:
+        raise ValueError("Quantisation index is only used in HQ_ConstQ mode")
+    if rate and args.compressedBytes is None:
+        raise ValueError("Compressed bytes must be set in HQ_CBR and LD modes")
+    if mode == Mode.HQ_ConstQ and args.quantIndex is None:
+        raise ValueError("Quantisation index must be set in HQ_ConstQ mode")
+
     bit_depth = args.bitDepth or 8 * args.bytes
     luma_depth = args.lumaDepth or bit_depth
     chroma_depth = args.chromaDepth or luma_depth
+    args.scalar = 1 if args.scalar is None else args.scalar
+    args.prefix = 0 if args.prefix is None else args.prefix
+    args.fragmentLength = args.fragmentLength or 0
+    args.compressedBytes = args.compressedBytes or 0
+    args.quantIndex = args.quantIndex or 0
     return EncoderConfig(
         height=args.height, width=args.width,
         chroma_format=ColourFormat.parse(args.format),
