@@ -4,19 +4,24 @@ Decomposition (SURVEY.md §2 parallelism table):
 
 * ``data``  — independent frames (intra-only codec);
 * ``space`` — row bands of each picture; the DWT exchanges halo rows per
-  lifting pass (vc2tpu.shard.halo), everything slice-local afterwards
-  (RDO, quantisation, VLC sizing) partitions along the same axis with no
-  further communication — slice rows coincide with row bands.
+  vertical lifting pass (vc2tpu.shard.halo) over an ICI ring, everything
+  slice-local afterwards (RDO, quantisation, VLC sizing) partitions along
+  the same axis with no further communication — slice rows coincide with
+  row bands.
 
+The whole step runs under one shard_map in the Mallat band form: subbands
+stay contiguous per shard and slice-lane extraction is pure
+reshape/transpose (the same layout choices as the single-chip pipeline).
 The jitted step takes batched planes (B, H, W) and returns per-slice
 quantiser indices plus quantised lanes, exactly equal to the single-device
-pipeline output.
+pipeline output (ints, compared with ==).
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -25,89 +30,100 @@ from vc2tpu.core.config import EncoderConfig, Mode
 from vc2tpu.quant.quantiser import quant_banded, scale_banded
 from vc2tpu.rdo.cbr import cbr_quant_indices
 from vc2tpu.slices import layout
-from vc2tpu.shard.halo import sharded_forward_plane, sharded_inverse_plane
-from vc2tpu.wavelet import matrices
+from vc2tpu.shard.halo import forward_bands_local, inverse_bands_local
+from vc2tpu.wavelet import lifting, matrices
+
+
+def _band_meta(geo, depth):
+    _, band_y = layout.lane_order(*geo.luma_slice, depth)
+    _, band_c = layout.lane_order(*geo.chroma_slice, depth)
+    bs_y = tuple(int(c) for c in np.bincount(band_y))
+    bs_c = tuple(int(c) for c in np.bincount(band_c))
+    return bs_y, bs_c
 
 
 def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
     """Build a jitted multi-chip HQ encode step.
 
-    Returns (step_fn, input_shardings). step_fn(y, c1, c2, budgets) ->
+    Returns (step_fn, plane_sharding, geo). step_fn(y, c1, c2, budgets) ->
     (q_indices (B, N), qy, qu, qv lanes). Padding must already be applied
-    (shapes are the padded geometry).
+    (shapes are the padded geometry); y_slices must divide by the ``space``
+    extent so slice rows align with row bands.
     """
     from vc2tpu.pipeline.encoder import slice_geometry
 
     geo = slice_geometry(cfg)
     d = cfg.wavelet_depth
+    space = mesh.shape["space"]
+    if geo.y_slices % space:
+        raise ValueError("y_slices must divide by the space mesh extent")
     qmatrix = matrices.quant_matrix(cfg.kernel, d)
-    import numpy as np
-
-    _, band_y = layout.lane_order(*geo.luma_slice, d)
-    _, band_c = layout.lane_order(*geo.chroma_slice, d)
-    qm = jnp.asarray(qmatrix.astype(jnp.int32))
-    bs_y = tuple(int(c) for c in np.bincount(band_y))
-    bs_c = tuple(int(c) for c in np.bincount(band_c))
+    qm = jnp.asarray(qmatrix.astype(np.int32))
+    bs_y, bs_c = _band_meta(geo, d)
+    ys_local = geo.y_slices // space
     plane_spec = NamedSharding(mesh, P("data", "space", None))
-    lane_spec = NamedSharding(mesh, P("data", "space", None))
+    budget_spec = NamedSharding(mesh, P("data", "space"))
 
-    def step(y, c1, c2, budgets):
-        ty = sharded_forward_plane(y, mesh, cfg.kernel, d)
-        tu = sharded_forward_plane(c1, mesh, cfg.kernel, d)
-        tv = sharded_forward_plane(c2, mesh, cfg.kernel, d)
-        # slice rows align with row bands: lane extraction partitions cleanly
-        ly = layout.plane_to_lanes(ty, geo.y_slices, geo.x_slices, d)
-        lu = layout.plane_to_lanes(tu, geo.y_slices, geo.x_slices, d)
-        lv = layout.plane_to_lanes(tv, geo.y_slices, geo.x_slices, d)
-        ly = jax.lax.with_sharding_constraint(ly, lane_spec)
-        lu = jax.lax.with_sharding_constraint(lu, lane_spec)
-        lv = jax.lax.with_sharding_constraint(lv, lane_spec)
-        B = ly.shape[0]
-        n = geo.n_slices
+    def local(y, c1, c2, budgets):
+        lanes = []
+        for p in (y, c1, c2):
+            bands = forward_bands_local(p, cfg.kernel, d, "space")
+            lanes.append(lifting.bands_to_lanes(bands, ys_local,
+                                                geo.x_slices))
+        ly, lu, lv = lanes
+        b = ly.shape[0]
+        n_loc = ys_local * geo.x_slices
         if cfg.mode == Mode.HQ_CBR:
             q_idx = cbr_quant_indices(
-                ly.reshape(B * n, -1), lu.reshape(B * n, -1),
-                lv.reshape(B * n, -1), qm, bs_y, bs_c,
-                budgets.reshape(B * n), cfg.slice_scalar).reshape(B, n)
+                ly.reshape(b * n_loc, -1), lu.reshape(b * n_loc, -1),
+                lv.reshape(b * n_loc, -1), qm, bs_y, bs_c,
+                budgets.reshape(b * n_loc), cfg.slice_scalar).reshape(b, n_loc)
         else:
-            q_idx = jnp.full((B, n), cfg.q_index, dtype=jnp.int32)
+            q_idx = jnp.full((b, n_loc), cfg.q_index, dtype=jnp.int32)
         return (q_idx, quant_banded(ly, q_idx, qm, bs_y),
                 quant_banded(lu, q_idx, qm, bs_c),
                 quant_banded(lv, q_idx, qm, bs_c))
 
+    shmap = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", "space", None),) * 3 + (P("data", "space"),),
+        out_specs=(P("data", "space"), P("data", "space", None),
+                   P("data", "space", None), P("data", "space", None)))
+
     with mesh:
-        step_jit = jax.jit(step,
-                           in_shardings=(plane_spec, plane_spec, plane_spec,
-                                         NamedSharding(mesh, P("data", None))),
-                           out_shardings=None)
+        step_jit = jax.jit(shmap, in_shardings=(plane_spec,) * 3
+                           + (budget_spec,))
     return step_jit, plane_spec, geo
 
 
 def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh):
-    """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT."""
-    import numpy as np
-
+    """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT (band form,
+    halo exchange per vertical pass)."""
+    space = mesh.shape["space"]
+    if geo.y_slices % space:
+        raise ValueError("y_slices must divide by the space mesh extent")
     qmatrix = matrices.quant_matrix(kernel, depth)
-    _, band_y = layout.lane_order(*geo.luma_slice, depth)
-    _, band_c = layout.lane_order(*geo.chroma_slice, depth)
-    qm = jnp.asarray(qmatrix.astype(jnp.int32))
-    bs_y = tuple(int(c) for c in np.bincount(band_y))
-    bs_c = tuple(int(c) for c in np.bincount(band_c))
+    qm = jnp.asarray(qmatrix.astype(np.int32))
+    bs_y, bs_c = _band_meta(geo, depth)
+    ys_local = geo.y_slices // space
+    dims_y = [(h // space, w) for (h, w) in
+              lifting.band_dims(*geo.padded_luma, depth)]
+    dims_c = [(h // space, w) for (h, w) in
+              lifting.band_dims(*geo.padded_chroma, depth)]
 
-    def step(q_idx, ly, lu, lv):
-        ty = layout.lanes_to_plane(scale_banded(ly, q_idx, qm, bs_y),
-                                   geo.y_slices, geo.x_slices,
-                                   *geo.luma_slice, depth)
-        tu = layout.lanes_to_plane(scale_banded(lu, q_idx, qm, bs_c),
-                                   geo.y_slices, geo.x_slices,
-                                   *geo.chroma_slice, depth)
-        tv = layout.lanes_to_plane(scale_banded(lv, q_idx, qm, bs_c),
-                                   geo.y_slices, geo.x_slices,
-                                   *geo.chroma_slice, depth)
-        y = sharded_inverse_plane(ty, mesh, kernel, depth)
-        c1 = sharded_inverse_plane(tu, mesh, kernel, depth)
-        c2 = sharded_inverse_plane(tv, mesh, kernel, depth)
-        return y, c1, c2
+    def local(q_idx, ly, lu, lv):
+        def synth(lanes, dims, bs):
+            t = scale_banded(lanes, q_idx, qm, bs)
+            bands = lifting.lanes_to_bands(t, ys_local, geo.x_slices, dims)
+            return inverse_bands_local(bands, kernel, depth, "space")
+
+        return (synth(ly, dims_y, bs_y), synth(lu, dims_c, bs_c),
+                synth(lv, dims_c, bs_c))
+
+    shmap = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", "space"),) + (P("data", "space", None),) * 3,
+        out_specs=(P("data", "space", None),) * 3)
 
     with mesh:
-        return jax.jit(step)
+        return jax.jit(shmap)

@@ -99,6 +99,8 @@ def cbr_quant_indices(lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
         still = active & (dss < 0)
         return nxt, prev, still
 
-    active = jnp.ones((n,), dtype=bool)
+    # derive the initial mask from data so its sharding "varying" type
+    # matches the loop body's under shard_map
+    active = trial_q == trial_q
     trial_q, _, _ = jax.lax.while_loop(cond, body, (trial_q, prev, active))
     return trial_q - 1

@@ -147,6 +147,62 @@ def _inverse_local(x, kernel: WaveletKernel, depth: int, axis_name: str):
     return x
 
 
+# --- Mallat (band) form, used by the sharded pipeline ------------------------
+# Same halo arithmetic, but subbands stay contiguous per shard: no strided
+# sub-lattice access, and slice-lane extraction downstream is pure
+# reshape/transpose (see vc2tpu/wavelet/lifting.py).
+
+def forward_bands_local(x, kernel: WaveletKernel, depth: int, axis_name: str):
+    """Per-shard forward DWT of a row-band of the (padded) plane, returning
+    the local row-band of every subband. Call inside shard_map."""
+    steps = _STEPS[kernel]
+    shift = TRANSFORM_SHIFT[kernel]
+    halo = halo_width(kernel)
+    h_axis = x.ndim - 1
+    v_axis = x.ndim - 2
+    x = jnp.asarray(x, jnp.int32)
+    fine_to_coarse = []
+    for _ in range(depth):
+        if shift:
+            x = x << shift
+        he, ho = _split(x, h_axis)
+        he, ho = _apply_steps(he, ho, steps, h_axis, invert=False)
+        ll, lh = _apply_vertical_steps_halo(*_split(he, v_axis), steps,
+                                            axis_name, False, halo)
+        hl, hh = _apply_vertical_steps_halo(*_split(ho, v_axis), steps,
+                                            axis_name, False, halo)
+        fine_to_coarse.append((hl, lh, hh))
+        x = ll
+    bands = [x]
+    for lvl in reversed(fine_to_coarse):
+        bands.extend(lvl)
+    return bands
+
+
+def inverse_bands_local(bands, kernel: WaveletKernel, depth: int,
+                        axis_name: str):
+    """Per-shard inverse DWT from local subband row-bands."""
+    steps = _STEPS[kernel]
+    shift = TRANSFORM_SHIFT[kernel]
+    halo = halo_width(kernel)
+    x = bands[0]
+    h_axis = x.ndim - 1
+    v_axis = x.ndim - 2
+    for level in range(depth):
+        hl, lh, hh = bands[1 + 3 * level:4 + 3 * level]
+        ve, vo = _apply_vertical_steps_halo(x, lh, steps, axis_name, True,
+                                            halo)
+        he = _interleave(ve, vo, v_axis)
+        ve, vo = _apply_vertical_steps_halo(hl, hh, steps, axis_name, True,
+                                            halo)
+        ho = _interleave(ve, vo, v_axis)
+        he, ho = _apply_steps(he, ho, steps, h_axis, invert=True)
+        x = _interleave(he, ho, h_axis)
+        if shift:
+            x = (x + (1 << (shift - 1))) >> shift
+    return x
+
+
 def sharded_forward_plane(plane, mesh: Mesh, kernel: WaveletKernel, depth: int,
                           axis_name: str = "space"):
     """Forward DWT of an (already padded) plane sharded in row bands over
