@@ -57,6 +57,12 @@ CASES = [
                                    "-F", "512"]),
     ("ld_fragmented", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
                                   "-u", "1", "-a", "2", "-s", "2048", "-F", "512"]),
+    ("constq_420_interlaced", "tiny420", ["-m", "HQ_ConstQ", "-k", "LeGall",
+                                          "-d", "1", "-u", "2", "-a", "2",
+                                          "-q", "10", "-i"]),
+    ("cbr_interlaced", "tiny422", ["-m", "HQ_CBR", "-k", "DD137", "-d", "2",
+                                   "-u", "1", "-a", "2", "-S", "1",
+                                   "-s", "3072", "-i"]),
 ]
 
 TAP_CASES = [
