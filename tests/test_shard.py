@@ -48,3 +48,53 @@ def test_sharded_roundtrip_with_data_axis():
     t = sharded_forward_plane(xs, mesh, WaveletKernel.LeGall, 2)
     r = np.asarray(sharded_inverse_plane(t, mesh, WaveletKernel.LeGall, 2))
     np.testing.assert_array_equal(r, x)
+
+
+def test_sharded_encode_step_matches_single_device():
+    """Full band-form sharded encode step == single-device pipeline
+    (the same check the driver's dryrun_multichip performs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode)
+    from vc2tpu.core.picture import Picture
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.pipeline.sharded import (make_sharded_decode_step,
+                                         make_sharded_encode_step)
+    from vc2tpu.slices.layout import slice_bytes_map
+
+    mesh = make_mesh(data=2, space=4)
+    H, W, depth = 64, 64, 2
+    cfg = EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=depth,
+                        y_size=1, x_size=2, mode=Mode.HQ_CBR,
+                        luma_depth=10, chroma_depth=10,
+                        frame_rate=FrameRate.FR25,
+                        compressed_bytes=H * W // 2, slice_scalar=1)
+    step, plane_spec, geo = make_sharded_encode_step(cfg, mesh, batch=2)
+    budgets = slice_bytes_map(geo.y_slices, geo.x_slices,
+                              cfg.compressed_bytes, 1).ravel()
+    rng = np.random.default_rng(3)
+    B = 2
+    y = jax.device_put(rng.integers(-512, 512, (B, H, W)).astype(np.int32),
+                       plane_spec)
+    c1 = jax.device_put(rng.integers(-512, 512, (B, H, W // 2)).astype(np.int32),
+                        plane_spec)
+    c2 = jax.device_put(rng.integers(-512, 512, (B, H, W // 2)).astype(np.int32),
+                        plane_spec)
+    from jax import numpy as jnp
+
+    bud = jax.device_put(jnp.tile(jnp.asarray(budgets)[None, :], (B, 1)),
+                         NamedSharding(mesh, P("data", "space")))
+    q_idx, qy, qu, qv = step(y, c1, c2, bud)
+
+    enc = Encoder(cfg)
+    for b in range(B):
+        ref = enc.encode_picture(Picture(np.asarray(y)[b], np.asarray(c1)[b],
+                                         np.asarray(c2)[b], cfg.chroma_format))
+        np.testing.assert_array_equal(np.asarray(q_idx)[b],
+                                      ref.q_indices.ravel())
+
+    dec = make_sharded_decode_step(cfg.kernel, depth, geo, mesh)
+    ry, rc1, rc2 = dec(q_idx, qy, qu, qv)
+    assert np.asarray(ry).shape == (B, H, W)
