@@ -51,3 +51,16 @@ from vc2tpu.core.config import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level API (keeps bare import light)
+    if name == "Encoder":
+        from vc2tpu.pipeline.encoder import Encoder
+        return Encoder
+    if name == "LDEncoder":
+        from vc2tpu.pipeline.ld import LDEncoder
+        return LDEncoder
+    if name == "Decoder":
+        from vc2tpu.cli.decode_stream import Decoder
+        return Decoder
+    raise AttributeError(name)
