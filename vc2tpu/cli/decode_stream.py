@@ -76,7 +76,7 @@ class Decoder:
         self.frags: dict[int, _FragState] = {}
         self.frames_out = 0
         self._pending = []            # FIFO of (device words, post) in flight
-        self._depth = 2               # dispatches in flight before blocking
+        self._depth = 3               # dispatches in flight before blocking
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
         self._batch = []              # staged (combined, q_idx) frames
