@@ -266,11 +266,15 @@ class Encoder:
                 self._cap = 1 << int(np.ceil(np.log2(total)))
                 buf_dev = self._pack_dispatch(res, budgets)
                 continue
-            # shrink the fetch capacity when it is >2x oversized (hysteresis
-            # avoids recompile thrash); takes effect next picture
+            # shrink the fetch capacity / slice-row width when >2x oversized
+            # (hysteresis avoids recompile thrash); takes effect next picture
             want = 1 << max(14, int(np.ceil(np.log2(max(total, 1) * 13 // 10))))
             if want <= self._cap // 2:
                 self._cap = want
+            want_w = 1 << int(np.ceil(np.log2(
+                max(int(totals.max()) * 13 // 10, 16) / 4)))
+            if self.cfg.mode != Mode.HQ_CBR and want_w <= self._w32 // 2:
+                self._w32 = want_w
             break
         if (q_idx > MAX_QINDEX).any():
             raise ValueError(

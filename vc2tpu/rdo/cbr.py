@@ -82,9 +82,19 @@ def cbr_quant_indices(lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
     best = jnp.where(fits & (trial < best), trial, best)
 
     # hill climb: raise q while the luma SSE strictly improves
-    # (reference EncodeStream.cpp:107-120)
-    trial_q = best
-    prev = _yss(lanes_y, trial_q, qm_bands, bs_y)
+    # (reference EncodeStream.cpp:107-120). The final q is
+    # best + (number of consecutive strict improvements), so the first K
+    # steps evaluate as ONE batched pass over (slice, candidate) — the
+    # while_loop only continues for the rare slices still improving past K.
+    K = 3        # typical climbs are 0-2 steps; the loop handles the tail
+    cand = best[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+    yss_k = jax.vmap(lambda q: _yss(lanes_y, q, qm_bands, bs_y),
+                     in_axes=1, out_axes=1)(cand)          # (N, K+1)
+    improve = yss_k[:, 1:] < yss_k[:, :-1]                  # (N, K)
+    run = jnp.cumprod(improve.astype(jnp.int32), axis=1)    # consecutive
+    c = jnp.sum(run, axis=1)
+    trial_q = best + c
+    prev = jnp.take_along_axis(yss_k, c[:, None], axis=1)[:, 0]
 
     def cond(state):
         _, _, active = state
@@ -99,8 +109,11 @@ def cbr_quant_indices(lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
         still = active & (dss < 0)
         return nxt, prev, still
 
-    # derive the initial mask from data so its sharding "varying" type
-    # matches the loop body's under shard_map
-    active = trial_q == trial_q
-    trial_q, _, _ = jax.lax.while_loop(cond, body, (trial_q, prev, active))
-    return trial_q - 1
+    # only slices whose whole first-K run improved may keep climbing; the
+    # mask derives from data so its shard_map "varying" type matches the body
+    active = c == K
+    trial_q, prev, active = jax.lax.while_loop(
+        cond, body, (trial_q, prev, active))
+    # while_loop applied the failed step to its active slices; the batched
+    # prefix did not — align to the reference's trial_q semantics
+    return jnp.where(c == K, trial_q - 1, trial_q)

@@ -208,8 +208,12 @@ def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
     local = _accumulate(local, hw, hp, jnp.zeros_like(hp), w32)
 
     # global byte gather ---------------------------------------------------
+    # slice-of-byte map via unique scatter + cumsum (a searchsorted would be
+    # log2(n) gather rounds over cap_bytes lanes — gathers are the cost here)
     g = jnp.arange(cap_bytes, dtype=jnp.int32)
-    s_idx = jnp.clip(jnp.searchsorted(starts, g, side="right") - 1, 0, n - 1)
+    marks = jnp.zeros((cap_bytes + 1,), jnp.int32).at[starts].add(
+        1, mode="drop", unique_indices=True)
+    s_idx = jnp.clip(jnp.cumsum(marks[:cap_bytes]) - 1, 0, n - 1)
     o = g - starts[s_idx]
     word = local[s_idx, jnp.clip(o >> 2, 0, w32 - 1)]
     payload = ((word >> ((3 - (o & 3)).astype(jnp.uint32) * 8))
