@@ -93,9 +93,11 @@ RECIP_QF_F32 = (np.float32(1.0) / ABS_QF_I32.astype(np.float32))
 def _quant_core(v, absqf, recip, neg_qf):
     mag = jnp.abs(v) << 2
     out = (mag.astype(jnp.float32) * recip).astype(jnp.int32)
-    for _ in range(2):                       # exact fix-up of the estimate
-        r = mag - out * absqf
-        out = out + (r >= absqf).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    # one exact fix-up round: the estimate's error is < 0.2 for the legal
+    # |v| < 2^22 domain (float32 mul of a < 2^24 exact value), so a single
+    # +-1 correction lands the floor exactly (tests/test_quant_exact.py)
+    r = mag - out * absqf
+    out = out + (r >= absqf).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     out = jnp.where(neg_qf, -out, out)       # int32-wrapped table entries
     return jnp.where(v < 0, -out, out).astype(jnp.int32)
 
