@@ -7,11 +7,16 @@ the reference's optional frame decoder
 src/DecodeFrame/DecodeParams.cpp:54-160). Useful as a conformance harness:
 the same decode core as DecodeStream minus the stream parser.
 
-Verified byte-identical to the reference binary for Decoded output (all
-frames) and Transform output (first frame). For multi-frame input the
-reference's Transform/Quantised taps corrupt every picture after the first
-(stale iostream state in its tap path); this implementation decodes all of
-them correctly, so later frames intentionally differ there.
+Verified byte-identical to the reference binary for HQ Decoded output (all
+frames) and Transform output (first frame). Two reference-binary defects are
+intentionally not reproduced: (a) for multi-frame input its
+Transform/Quantised taps corrupt every picture after the first (stale
+iostream state); (b) in LD mode it fails to read its own encoder's Packaged
+output at all ("Failed to read the first compressed frame"). This
+implementation follows the reference SOURCE semantics in both cases — note
+DecodeFrame dequantises LD without DC prediction (inverse_quantise_transform
+_np, DecodeFrame.cpp:298), so LD output legitimately differs from
+DecodeStream's predictive path.
 """
 
 from __future__ import annotations
