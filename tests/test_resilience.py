@@ -41,3 +41,25 @@ def test_garbage_prefix_resync():
     assert dec.run(b"\x00garbage\xff" * 3 + stream) == 0
     assert dec.frames_out == 2
     assert sink.getvalue() == ref
+
+
+def test_random_garbage_never_crashes():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for n in (0, 13, 1000, 65536):
+        dec = Decoder(sink=io.BytesIO())
+        assert dec.run(rng.integers(0, 256, n, dtype=np.uint8).tobytes()) == 0
+
+
+def test_random_corruption_never_crashes():
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    stream = bytearray((GOLDEN / "cbr_legall_d2.vc2").read_bytes())
+    for _trial in range(10):
+        s = bytearray(stream)
+        for _ in range(4):
+            s[rng.integers(13, len(s))] = rng.integers(0, 256)
+        dec = Decoder(sink=io.BytesIO())
+        assert dec.run(bytes(s)) == 0

@@ -311,7 +311,20 @@ class Decoder:
                 self._flush()
                 self.log("End of data stream reached successfully, exiting.")
                 return 0
-            du_type, next_off, _prev = rd.read_data_unit()
+            try:
+                du_type, next_off, _prev = rd.read_data_unit()
+            except ValueError as exc:
+                # corrupt parse_info: re-lock onto the next 'BBCD' (the
+                # reference binary exits here; dataunitio::synchronise makes
+                # continuing strictly better)
+                print(f"Bad parse info ({exc}); resynchronising",
+                      file=sys.stderr)
+                if not rd.synchronise():
+                    self._dispatch_batch()
+                    self._flush()
+                    return 0
+                rd.r.seek(rd.r.byte_pos - 4)
+                continue
             self.log(f"Have read data unit of type: {du_type.value}")
             if du_type == DataUnitType.SEQUENCE_HEADER:
                 self.hdr = rd.read_sequence_header()
