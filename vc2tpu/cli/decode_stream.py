@@ -16,10 +16,11 @@ import numpy as np
 
 from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
                                 WaveletKernel)
-from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
+from vc2tpu.core.picture import Picture
 from vc2tpu.core.planario import SampleFormat, write_picture
 from vc2tpu.pipeline.decoder import (synthesise_batch_to_words,
-                                     synthesise_lanes, synthesise_to_words)
+                                     synthesise_lanes, synthesise_to_words,
+                                     synthesise_transform_to_words)
 from vc2tpu.pipeline.encoder import SliceGeometry
 from vc2tpu.pipeline import ld as ld_pipeline
 from vc2tpu.slices import layout
@@ -72,7 +73,6 @@ class Decoder:
         self.hdr = None
         self.pic = 0
         self.frame = 0
-        self.first_field = None
         self.frags: dict[int, _FragState] = {}
         self.frames_out = 0
         self._pending = []            # FIFO of (device words, post) in flight
@@ -270,33 +270,13 @@ class Decoder:
             if self.output == DecOutput.TRANSFORM:
                 write_picture(self.sink, transform, sig_fmt)
                 return
-            from vc2tpu.wavelet import lifting
-
-            picture = lifting.inverse_picture(transform, pre.wavelet_kernel,
-                                              pre.depth, out_geom)
-            picture = Picture(np.asarray(picture.y), np.asarray(picture.c1),
-                              np.asarray(picture.c2), hdr.chroma_format)
-        self._emit_picture(picture)
-
-    def _emit_picture(self, picture: Picture):
-        hdr = self.hdr
-        if hdr.interlace:
-            if self.pic == 0:
-                self.first_field = picture
-                self.pic = 1
-                return
-            out_frame = interleave_fields(self.first_field, picture,
-                                          hdr.top_field_first)
-            self.pic = 0
-        else:
-            out_frame = picture
-        out_frame = signal_clip(out_frame, hdr.bitdepth, hdr.bitdepth)
-        word = 1 if hdr.bitdepth == 8 else 2
-        fmt = SampleFormat(word_width=word, bit_depth=hdr.bitdepth, offset=True)
-        self._flush()
-        write_picture(self.sink, out_frame, fmt)
-        self.frame += 1
-        self.frames_out += 1
+            # fused device tail (IDWT + clip + format), async
+            self._dispatch_batch()
+            words, post = synthesise_transform_to_words(
+                transform, pre.wavelet_kernel, pre.depth, out_geom,
+                hdr.bitdepth, allow_pack=not hdr.interlace)
+            self._emit_words(words, post)
+            return
 
     # --- data unit handlers ---
 

@@ -111,6 +111,75 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=16)
+def _idwt_bytes_fn(kernel: WaveletKernel, depth: int, out_key, bitdepth: int,
+                   pack10: bool):
+    """Fused IDWT + clip + planar-format from already-dequantised transform
+    planes (the LD decode tail — dequantisation with DC prediction runs on
+    the host, reference DecodeStream.cpp:404-450)."""
+    (out_lh, out_lw, out_ch, out_cw) = out_key
+    word = 1 if bitdepth == 8 else 2
+    zero = 1 << (bitdepth - 1)
+
+    def fmt(p):
+        v = jnp.clip(p, -zero, zero - 1) + zero
+        if pack10:
+            return v.astype(jnp.uint32).ravel()
+        if word == 1:
+            return v.astype(jnp.uint8).ravel()
+        v = (v << (16 - bitdepth)).astype(jnp.uint16)
+        return ((v << 8) | (v >> 8)).ravel()
+
+    def inv(t, lh, lw):
+        bands = lifting.inplace_to_bands(t.astype(jnp.int32), depth)
+        return lifting.inverse_bands(bands, kernel, depth)[:lh, :lw]
+
+    def fn(ty, tu, tv):
+        out = jnp.concatenate([fmt(inv(ty, out_lh, out_lw)),
+                               fmt(inv(tu, out_ch, out_cw)),
+                               fmt(inv(tv, out_ch, out_cw))])
+        if pack10:
+            pad = (-out.shape[0]) % 3
+            if pad:
+                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
+            t = out.reshape(-1, 3)
+            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
+        return out
+
+    return jax.jit(fn)
+
+
+def synthesise_transform_to_words(transform, kernel: WaveletKernel,
+                                  depth: int, out_geometry: PictureGeometry,
+                                  bitdepth: int, allow_pack: bool = True):
+    """Async LD fast tail: host-dequantised transform planes -> device IDWT +
+    output formatting; one narrow host->device copy per plane (int16 when the
+    values fit) and one packed fetch. Returns (device_words, post)."""
+    out_key = (out_geometry.luma_height, out_geometry.luma_width,
+               out_geometry.chroma_height, out_geometry.chroma_width)
+    pack10 = bool(allow_pack and bitdepth == 10)
+    fn = _idwt_bytes_fn(kernel, depth, out_key, bitdepth, pack10)
+
+    def put(p):
+        p = np.asarray(p)
+        if int(np.abs(p).max(initial=0)) <= 32767:
+            return jnp.asarray(p.astype(np.int16))
+        return jnp.asarray(p, jnp.int32)
+
+    out = fn(put(transform.y), put(transform.c1), put(transform.c2))
+    try:
+        out.copy_to_host_async()
+    except Exception:
+        pass
+    if pack10:
+        ns = (out_geometry.luma_height * out_geometry.luma_width
+              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
+        post = functools.partial(_unpack10, n_samples=ns)
+    else:
+        post = lambda a: a.tobytes()
+    return out, post
+
+
 def _bucket(n: int) -> int:
     """Round up to the next {1, 1.5}x power-of-two size (limits jit
     retraces from data-dependent packed-buffer lengths)."""
