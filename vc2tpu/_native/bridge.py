@@ -45,6 +45,7 @@ class _Native:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             i64, i64,
             np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
         lib.unpack_streams_i16.restype = ctypes.c_int
         lib.fixedpack.argtypes = [
@@ -52,7 +53,7 @@ class _Native:
             i64, i64,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
-            i64,
+            i64, ctypes.c_int,
         ]
         lib.fixedpack.restype = i64
         lib.scan_hq_offsets.argtypes = [
@@ -97,17 +98,20 @@ class _Native:
             int(S), int(n_lanes), out)
 
     def unpack_streams_i16(self, payload, buflen, starts, bounds, S, n_lanes,
-                           out):
+                           out, widths=None):
+        if widths is None:
+            widths = np.empty(int(S), np.uint8)
         return self._lib.unpack_streams_i16(
             np.ascontiguousarray(payload, np.uint8), int(buflen),
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(bounds, np.int64),
-            int(S), int(n_lanes), out)
+            int(S), int(n_lanes), out, widths)
 
-    def fixedpack(self, lanes, S, n_lanes, widths, out, start_bit):
+    def fixedpack(self, lanes, S, n_lanes, widths, out, start_bit,
+                  widths_in=False):
         return self._lib.fixedpack(np.ascontiguousarray(lanes, np.int16),
                                    int(S), int(n_lanes), widths, out,
-                                   int(start_bit))
+                                   int(start_bit), int(widths_in))
 
     def scan_hq_offsets(self, payload, n, prefix, scalar, start, q, dstart,
                         cbytes):

@@ -169,18 +169,22 @@ EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
   }
 }
 
-// unpack_streams variant writing int16 lanes (halves the host->device copy).
-// Returns 1 if any magnitude exceeded int16 range (caller falls back to the
-// int32 path to preserve bit-exactness), else 0.
+// unpack_streams variant writing int16 lanes (halves the host->device copy)
+// and the per-stream fixed-pack bit width (bitlen(max|v|)+1, 0 when all
+// zero) so the repack needs no extra max scan. Returns 1 if any magnitude
+// exceeded int16 range (caller falls back to the int32 path to preserve
+// bit-exactness), else 0.
 EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
                               const int64_t* start, const int64_t* bound,
-                              int64_t S, int64_t n_lanes, int16_t* out) {
+                              int64_t S, int64_t n_lanes, int16_t* out,
+                              uint8_t* widths) {
   int overflow = 0;
   for (int64_t s = 0; s < S; ++s) {
     int64_t pos = 0;
     const int64_t lim = bound[s];
     const int64_t base = start[s];
     int16_t* row = out + s * n_lanes;
+    uint32_t maxabs = 0;
     int64_t lane = 0;
     while (lane < n_lanes) {
       if (pos >= lim) {
@@ -206,6 +210,7 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
 #endif
       }
       if (mag > 32767u) overflow = 1;
+      if (mag > maxabs) maxabs = mag;
       int32_t v = static_cast<int32_t>(mag);
       if (v != 0) {
         if (w >> (63 - consumed) & 1) v = -v;
@@ -214,6 +219,8 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
       row[lane++] = static_cast<int16_t>(v);
       pos += consumed;
     }
+    widths[s] = static_cast<uint8_t>(maxabs ? (33 - __builtin_clz(maxabs))
+                                            : 0);
   }
   return overflow;
 }
@@ -224,18 +231,24 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
 // bit-contiguous across values and streams. The device unpacks with two
 // word gathers + an arithmetic shift per value. Returns the end bit cursor.
 EXPORT int64_t fixedpack(const int16_t* lanes, int64_t S, int64_t n_lanes,
-                         uint8_t* widths, uint32_t* out, int64_t start_bit) {
+                         uint8_t* widths, uint32_t* out, int64_t start_bit,
+                         int widths_in) {
   int64_t bit = start_bit;
   for (int64_t s = 0; s < S; ++s) {
     const int16_t* row = lanes + s * n_lanes;
-    uint32_t maxabs = 0;
-    for (int64_t i = 0; i < n_lanes; ++i) {
-      int32_t v = row[i];
-      uint32_t a = static_cast<uint32_t>(v < 0 ? -v : v);
-      if (a > maxabs) maxabs = a;
+    int w;
+    if (widths_in) {
+      w = widths[s];            // precomputed by unpack_streams_i16
+    } else {
+      uint32_t maxabs = 0;
+      for (int64_t i = 0; i < n_lanes; ++i) {
+        int32_t v = row[i];
+        uint32_t a = static_cast<uint32_t>(v < 0 ? -v : v);
+        if (a > maxabs) maxabs = a;
+      }
+      w = maxabs ? (33 - __builtin_clz(maxabs)) : 0;  // bitlen + sign bit
+      widths[s] = static_cast<uint8_t>(w);
     }
-    int w = maxabs ? (33 - __builtin_clz(maxabs)) : 0;  // bitlen + sign bit
-    widths[s] = static_cast<uint8_t>(w);
     if (w == 0) continue;
     const uint32_t mask = (w == 32) ? ~0u : ((1u << w) - 1u);
     for (int64_t i = 0; i < n_lanes; ++i) {

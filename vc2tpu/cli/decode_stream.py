@@ -79,6 +79,7 @@ class Decoder:
         self._depth = 3               # dispatches in flight before blocking
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
+        self._widths = None           # fixed-pack widths from the unpack
         self._batch = []              # staged (combined, q_idx) frames
         self._batch_meta = None       # dispatch params of the staged frames
         self._batch_key = None        # hashable geometry key of the stage
@@ -171,6 +172,7 @@ class Decoder:
         hdr = self.hdr
         depth = pre.depth
         self._combined = None
+        self._widths = None
         pic_h, padded_h, padded_w = _geometry(hdr, depth)
         from vc2tpu.core.config import chroma_dims
 
@@ -187,6 +189,7 @@ class Decoder:
                                     start=start)
             q_idx, (ly, lu, lv) = data.q_indices, data.lanes
             self._combined = data.combined
+            self._widths = data.widths
         else:
             compressed = (pre.slice_bytes_numerator * ys * xs
                           // pre.slice_bytes_denominator)
@@ -250,7 +253,7 @@ class Decoder:
             words, post = synthesise_to_words(
                 combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
                 geo, out_geom, hdr.bitdepth,
-                allow_pack=not hdr.interlace)
+                allow_pack=not hdr.interlace, widths=self._widths)
             self._emit_words(words, post)
             return
         else:

@@ -200,7 +200,8 @@ def _unpack10(w: np.ndarray, n_samples: int) -> bytes:
 
 def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
                         depth: int, geo, out_geometry: PictureGeometry,
-                        bitdepth: int, allow_pack: bool = True):
+                        bitdepth: int, allow_pack: bool = True,
+                        widths: np.ndarray | None = None):
     """Async fast path: one host->device copy of the combined coefficient
     buffer (int16 normally), full synthesis + output formatting on device.
     Returns (device_words, postprocess) WITHOUT blocking; postprocess turns
@@ -219,14 +220,17 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
         n = geo.n_slices
         Ly = geo.luma_slice[0] * geo.luma_slice[1]
         Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
-        widths = np.empty(3 * n, np.uint8)
+        win = widths is not None
+        if not win:
+            widths = np.empty(3 * n, np.uint8)
         scratch = np.zeros(_bucket((combined.size * 16 + 63) // 32 + 2),
                            np.uint32)
-        b = native.fixedpack(combined[:n * Ly], n, Ly, widths[:n], scratch, 0)
+        b = native.fixedpack(combined[:n * Ly], n, Ly, widths[:n], scratch,
+                             0, win)
         b = native.fixedpack(combined[n * Ly:n * (Ly + Lc)], n, Lc,
-                             widths[n:2 * n], scratch, b)
+                             widths[n:2 * n], scratch, b, win)
         b = native.fixedpack(combined[n * (Ly + Lc):], n, Lc,
-                             widths[2 * n:], scratch, b)
+                             widths[2 * n:], scratch, b, win)
         words = int(b + 31) // 32 + 1
         out = fn(jnp.asarray(scratch[:_bucket(words)]),
                  jnp.asarray(q_indices, jnp.int32), qm_bands,

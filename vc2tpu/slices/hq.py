@@ -36,6 +36,7 @@ class HQSliceData:
     lanes: tuple                    # (y, c1, c2) [N, L_comp]
     total_bytes: int = 0
     combined: np.ndarray | None = None
+    widths: np.ndarray | None = None   # fixed-pack widths, uint8 [3N]
 
 
 def _bits_used(lanes: np.ndarray) -> np.ndarray:
@@ -190,6 +191,7 @@ def decode_hq_slices(payload: np.ndarray, n_slices: int, prefix: int,
         payload = np.ascontiguousarray(payload, np.uint8)
         sizes = [n_slices * lc for lc in lane_counts]
         combined = np.empty(sum(sizes), dtype=np.int16)
+        widths = np.empty(3 * n_slices, dtype=np.uint8)
         splits = np.cumsum([0] + sizes)
         overflow = 0
         for c in range(3):
@@ -197,14 +199,16 @@ def decode_hq_slices(payload: np.ndarray, n_slices: int, prefix: int,
                                                              lane_counts[c])
             overflow |= native.unpack_streams_i16(
                 payload, len(payload), dstart[c] * 8, cbytes[c] * 8,
-                n_slices, lane_counts[c], view)
+                n_slices, lane_counts[c], view,
+                widths[c * n_slices:(c + 1) * n_slices])
         if not overflow:
             lanes = tuple(
                 combined[splits[c]:splits[c + 1]].reshape(n_slices,
                                                           lane_counts[c])
                 for c in range(3))
             return HQSliceData(q_indices=q, lanes=lanes,
-                               total_bytes=end - start, combined=combined)
+                               total_bytes=end - start, combined=combined,
+                               widths=widths)
     lanes = []
     for c in range(3):
         lanes.append(unpack_signed_streams(payload, dstart[c] * 8,
