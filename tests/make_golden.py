@@ -57,6 +57,9 @@ CASES = [
                                    "-F", "512"]),
     ("ld_fragmented", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
                                   "-u", "1", "-a", "2", "-s", "2048", "-F", "512"]),
+    ("constq_scalar2_prefix1", "tiny422", ["-m", "HQ_ConstQ", "-k", "LeGall",
+                                           "-d", "2", "-u", "1", "-a", "2",
+                                           "-q", "14", "-S", "2", "-P", "1"]),
     ("constq_420_interlaced", "tiny420", ["-m", "HQ_ConstQ", "-k", "LeGall",
                                           "-d", "1", "-u", "2", "-a", "2",
                                           "-q", "10", "-i"]),
