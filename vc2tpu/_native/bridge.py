@@ -64,6 +64,11 @@ class _Native:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
         lib.scan_hq_offsets.restype = i64
+        lib.unpack10_to_be16.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        ]
         lib.encode_lanes.argtypes = [
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             i64,
@@ -106,6 +111,13 @@ class _Native:
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(bounds, np.int64),
             int(S), int(n_lanes), out, widths)
+
+    def unpack10_to_be16(self, words, n_samples):
+        out = np.empty(int(n_samples), np.uint16)
+        self._lib.unpack10_to_be16(
+            np.ascontiguousarray(words, np.uint32), words.size,
+            int(n_samples), out)
+        return out
 
     def fixedpack(self, lanes, S, n_lanes, widths, out, start_bit,
                   widths_in=False):

@@ -268,6 +268,25 @@ EXPORT int64_t fixedpack(const int16_t* lanes, int64_t S, int64_t n_lanes,
   return bit;
 }
 
+// Expand the device's 3x10-bit-per-word packed output samples to the
+// big-endian MSB-justified 16-bit planar wire format (the decode tail's
+// host post-processing; auto-vectorises under -O3 -march=native).
+EXPORT void unpack10_to_be16(const uint32_t* words, int64_t n_words,
+                             int64_t n_samples, uint16_t* out) {
+  int64_t o = 0;
+  for (int64_t i = 0; i < n_words; ++i) {
+    const uint32_t w = words[i];
+    const uint16_t a = static_cast<uint16_t>(((w >> 20) & 1023u) << 6);
+    const uint16_t b = static_cast<uint16_t>(((w >> 10) & 1023u) << 6);
+    const uint16_t c = static_cast<uint16_t>((w & 1023u) << 6);
+    out[o] = static_cast<uint16_t>((a >> 8) | (a << 8));
+    if (o + 1 < n_samples) out[o + 1] = static_cast<uint16_t>((b >> 8) | (b << 8));
+    if (o + 2 < n_samples) out[o + 2] = static_cast<uint16_t>((c >> 8) | (c << 8));
+    o += 3;
+    if (o >= n_samples) break;
+  }
+}
+
 // Walk the self-describing HQ (VBR-layout) slice chain: per slice `prefix`
 // zero bytes, 1-byte qIndex, then 3 x {1-byte length/scalar, data}
 // (reference Slices.cpp:384-467). Fills q[N], dstart[3*N], cbytes[3*N]

@@ -190,6 +190,8 @@ def _bucket(n: int) -> int:
 def _unpack10(w: np.ndarray, n_samples: int) -> bytes:
     """Expand 3x10-bit packed uint32 words to the big-endian MSB-justified
     16-bit planar wire format."""
+    if native is not None:
+        return native.unpack10_to_be16(w, n_samples).tobytes()
     v = np.empty((w.size, 3), np.uint16)
     v[:, 0] = (w >> 20) & 1023
     v[:, 1] = (w >> 10) & 1023
