@@ -33,8 +33,12 @@ def _component_bytes(lanes, q, qm_bands, band_sizes, scalar: int):
     """
     qlanes = quant_banded(lanes, q, qm_bands, band_sizes)
     nbits = signed_vlc_numbits(qlanes)
-    gross = jnp.cumsum(nbits, axis=1)
-    count = jnp.max(jnp.where(qlanes != 0, gross, 0), axis=1)
+    # trailing-zero truncation rule without a cumsum: every trailing zero is
+    # a 1-bit code (Slices.cpp:97-113)
+    L = qlanes.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(qlanes != 0, idx, -1), axis=-1)
+    count = jnp.sum(nbits, axis=-1, dtype=jnp.int32) - (L - 1 - last_nz)
     scaled = ((count + 7) // 8 + scalar - 1) // scalar
     return scaled * scalar
 

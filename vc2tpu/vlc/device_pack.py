@@ -75,9 +75,14 @@ def signed_codes(v):
 
 def bits_used(values, nbits):
     """Per-stream bit count with the trailing-zero truncation rule
-    (reference Slices.cpp:97-113): gross bits up to the last non-zero."""
-    gross = jnp.cumsum(nbits, axis=-1)
-    return jnp.max(jnp.where(values != 0, gross, 0), axis=-1)
+    (reference Slices.cpp:97-113): gross bits up to the last non-zero.
+    Every trailing zero is a 1-bit code, so this is total bits minus the
+    trailing-zero run — a sum and a max instead of a cumsum."""
+    L = values.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(values != 0, idx, -1), axis=-1)
+    total = jnp.sum(nbits, axis=-1, dtype=jnp.int32)
+    return total - (L - 1 - last_nz)
 
 
 def _component(vals, dstart_bytes, comp_bytes, scalar):
