@@ -85,17 +85,16 @@ def bits_used(values, nbits):
     return total - (L - 1 - last_nz)
 
 
-def _component(vals, dstart_bytes, comp_bytes, scalar):
-    """Codes, clipped to the bounded region, with absolute (local) bit
-    offsets. Returns (code, keep_bits, off_bits, overflow)."""
-    code, nb, overflow = signed_codes(vals)
+def _component(code, nb, dstart_bytes, comp_bytes):
+    """Clip precomputed codes to the bounded region and attach absolute
+    (local) bit offsets. Returns (code, keep_bits, off_bits)."""
     cum_ex = jnp.cumsum(nb, axis=1) - nb
     bound = (comp_bytes * 8)[:, None]
     keep = jnp.clip(bound - cum_ex, 0, nb)
     drop = (nb - keep).astype(jnp.uint32)
     code = jnp.where(keep > 0, code >> drop, jnp.uint32(0))
     off = dstart_bytes[:, None] * 8 + cum_ex
-    return code, keep, off, overflow
+    return code, keep, off
 
 
 def _parts(code, keep, off_bits):
@@ -148,14 +147,16 @@ def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
     qv = qv.astype(jnp.int32)
     flags = jnp.uint32(0)
 
-    comps = []
+    comp_codes = []
     comp_scaled = []
     for vals in (qy, qu, qv):
-        _, nb, _ = signed_codes(vals)
+        code, nb, ovf = signed_codes(vals)
+        flags = flags | jnp.where(ovf, jnp.uint32(FLAG_CODE_OVERFLOW),
+                                  jnp.uint32(0))
         used = bits_used(vals, nb)
         scaled = ((used + 7) // 8 + scalar - 1) // scalar
         comp_scaled.append(scaled)
-        comps.append(vals)
+        comp_codes.append((code, nb))
     flags = flags | jnp.where(
         jnp.any(jnp.stack([jnp.max(s) for s in comp_scaled[:2]]) > 255),
         jnp.uint32(FLAG_SCALAR), jnp.uint32(0))
@@ -188,10 +189,7 @@ def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
                prefix + 4 + yb + ub)
     cbytes = (yb, ub, vb)
     for c in range(3):
-        code, keep, off, ovf = _component(comps[c], dstarts[c], cbytes[c],
-                                          scalar)
-        flags = flags | jnp.where(ovf, jnp.uint32(FLAG_CODE_OVERFLOW),
-                                  jnp.uint32(0))
+        code, keep, off = _component(*comp_codes[c], dstarts[c], cbytes[c])
         w0, p0, p1 = _parts(code, keep, off)
         local = _accumulate(local, w0, p0, p1, w32)
 
