@@ -43,3 +43,17 @@ def test_slice_bytes_pointwise_matches_map_total():
     sizes = [layout.slice_bytes_at(v, h, ys, xs, num, den)
              for v in range(ys) for h in range(xs)]
     assert sum(sizes) == total  # telescoping sum covers the budget exactly
+
+
+def test_guess_geometry():
+    """Format guessing from sample counts (reference Picture.cpp:120-150)."""
+    from vc2tpu.core.config import ColourFormat
+    from vc2tpu.core.picture import guess_geometry
+
+    g = guess_geometry(1920 * 1080 * 2, chroma_format=ColourFormat.CF422)
+    assert (g.luma_height, g.luma_width) == (1080, 1920)
+    g = guess_geometry(1280 * 720 * 3)           # priority to 4:4:4
+    assert g.chroma_format == ColourFormat.CF444
+    g = guess_geometry(64 * 32 * 2, 32, 64)      # dims known, format guessed
+    assert g.chroma_format == ColourFormat.CF422
+    assert guess_geometry(12345) is None

@@ -95,3 +95,43 @@ def signal_clip(picture: Picture, luma_depth: int, chroma_depth: int) -> Picture
         -(1 << (luma_depth - 1)), (1 << (luma_depth - 1)) - 1,
         -(1 << (chroma_depth - 1)), (1 << (chroma_depth - 1)) - 1,
     )
+
+
+# Standard frame resolutions for format guessing
+# (reference src/Library/FrameResolutions.h:14-34).
+FRAME_RESOLUTIONS = (
+    (1080, 1920), (1080, 1440), (1080, 960),
+    (720, 1280), (720, 960), (720, 640),
+    (576, 720), (576, 704), (576, 540), (576, 360),
+    (486, 720), (486, 704), (486, 540), (486, 360),
+    (480, 720), (480, 704), (480, 540), (480, 360),
+)
+
+
+def _samples(g) -> int:
+    return g.luma_height * g.luma_width + 2 * g.chroma_height * g.chroma_width
+
+
+def guess_geometry(image_samples: int, height: int = 0, width: int = 0,
+                   chroma_format=None):
+    """Infer a PictureGeometry from a sample count, mirroring the reference
+    PictureFormat guessing constructor (src/Library/src/Picture.cpp:120-150):
+    explicit dims are validated against the count; a missing colour format
+    tries 4:4:4 then 4:2:2 then 4:2:0; missing dims search the standard
+    resolution table. Returns None when nothing matches."""
+    from vc2tpu.core.config import ColourFormat, PictureGeometry
+
+    formats = ([chroma_format] if chroma_format else
+               [ColourFormat.CF444, ColourFormat.CF422, ColourFormat.CF420])
+    if height and width:
+        for fmt in formats:
+            g = PictureGeometry.of(height, width, fmt)
+            if _samples(g) == image_samples:
+                return g
+        return None
+    for fmt in formats:
+        for (h, w) in FRAME_RESOLUTIONS:
+            g = PictureGeometry.of(h, w, fmt)
+            if _samples(g) == image_samples:
+                return g
+    return None
