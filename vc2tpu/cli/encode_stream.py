@@ -170,6 +170,24 @@ def run(args) -> int:
     keep_planes = output in (EncOutput.TRANSFORM, EncOutput.QUANTISED,
                              EncOutput.DECODED, EncOutput.PSNR)
     sig_fmt = SampleFormat(word_width=4, signed=True, offset=False)
+    # STREAM one-picture software pipeline: the next frame's file read and
+    # dispatch overlap the previous picture's device work + fetch
+    can_pipeline = (output == EncOutput.STREAM and not keep_planes
+                    and hasattr(encoder, "encode_picture_async"))
+    pending = None              # (picture_number, preamble, result handle)
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        picture_number, pre, handle = pending
+        pending = None
+        enc = handle()
+        all_q_indices.append(enc.q_indices.ravel())
+        writer.write_picture(picture_number, pre, enc.payload,
+                             hq=cfg.mode != Mode.LD,
+                             slice_sizes=enc.slice_totals)
+
     while True:
         in_frame = reader.read_frame()
         if in_frame is None:
@@ -187,6 +205,18 @@ def run(args) -> int:
                            else in_frame.second_field(cfg.top_field_first))
             else:
                 picture = in_frame
+            if can_pipeline:
+                picture_number = intmath.picture_number(pic_i, frame,
+                                                        frame_pics)
+                pre = PicturePreamble(
+                    wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+                    slices_x=geo.x_slices, slices_y=geo.y_slices,
+                    slice_prefix=cfg.slice_prefix,
+                    slice_size_scalar=cfg.slice_scalar)
+                handle = encoder.encode_picture_async(picture)
+                flush_pending()
+                pending = (picture_number, pre, handle)
+                continue
             enc = encoder.encode_picture(picture, keep_planes=keep_planes)
             frame_q_indices.append(enc.q_indices.ravel())
             if output == EncOutput.TRANSFORM:
@@ -251,6 +281,7 @@ def run(args) -> int:
                       file=sys.stderr)
         all_q_indices.extend(frame_q_indices)
         frame += 1
+    flush_pending()
     if verbose and output != EncOutput.TRANSFORM and all_q_indices:
         qi = np.concatenate(all_q_indices).astype(np.float64)
         mean = float(qi.mean())
