@@ -26,7 +26,7 @@ import sys
 
 import numpy as np
 
-from vc2tpu.core.config import (ColourFormat, DecOutput, Mode, PictureGeometry,
+from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
                                 WaveletKernel, chroma_dims)
 from vc2tpu.core.picture import Picture, interleave_fields, clip
 from vc2tpu.core.planario import SampleFormat, write_picture
@@ -36,7 +36,7 @@ from vc2tpu.pipeline import ld as ld_pipeline
 from vc2tpu.slices import layout
 from vc2tpu.slices.hq import decode_hq_slices
 from vc2tpu.slices.ld import decode_ld_slices
-from vc2tpu.wavelet import lifting, matrices
+from vc2tpu.wavelet import matrices
 
 
 def build_parser() -> argparse.ArgumentParser:

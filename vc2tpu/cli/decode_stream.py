@@ -14,8 +14,7 @@ import sys
 
 import numpy as np
 
-from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
-                                WaveletKernel)
+from vc2tpu.core.config import DecOutput, PictureGeometry
 from vc2tpu.core.picture import Picture
 from vc2tpu.core.planario import SampleFormat, write_picture
 from vc2tpu.pipeline.decoder import (synthesise_batch_to_words,

@@ -12,7 +12,6 @@ Golomb packing, data units) runs on host via the native codec.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ predictive quantisation) runs in the native host module in one pass.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

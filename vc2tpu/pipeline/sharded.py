@@ -19,8 +19,6 @@ pipeline output (ints, compared with ==).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

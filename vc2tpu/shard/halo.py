@@ -26,7 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vc2tpu.core.config import WaveletKernel
 from vc2tpu.wavelet.lifting import _STEPS, _apply_steps, _interleave, _split
