@@ -104,14 +104,16 @@ def main() -> int:
     dec.run(stream)
     assert dec.frames_out == len(pics), (dec.frames_out, len(pics))
 
-    best = 0.0
-    for _ in range(4):       # the tunnel link swings +-30%; take the best run
-        dec = Decoder(sink=NullSink())
-        t0 = time.perf_counter()
+    runs = []
+    for _ in range(5):       # median of 5 (honest central estimate; the
+        dec = Decoder(sink=NullSink())   # adaptive route makes decode mostly
+        t0 = time.perf_counter()         # link-independent, see BASELINE.md)
         dec.run(stream)
         dt = time.perf_counter() - t0
-        best = max(best, dec.frames_out / dt)
-    dec_fps = best
+        runs.append(dec.frames_out / dt)
+    dec_fps = float(np.median(runs))
+    print(f"bench: decode route={dec._route} runs="
+          f"{[round(r, 2) for r in sorted(runs)]}", file=sys.stderr)
 
     # secondary: CBR encode (rate-control dominated path)
     cbr_cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,

@@ -44,12 +44,21 @@ def test_encode_stream_byte_identical(case, inp, extra, tmp_path):
     assert mine == ref
 
 
+@pytest.mark.parametrize("route", ["device", "host"])
 @pytest.mark.parametrize("case,inp,extra", CASES,
                          ids=[c[0] for c in CASES])
-def test_decode_stream_bit_exact(case, inp, extra, tmp_path):
+def test_decode_stream_bit_exact(case, inp, extra, route, tmp_path):
+    """Both synthesis routes (device tail and native host tail) must be
+    bit-exact vs the reference DecodeStream output."""
+    if route == "host":
+        from vc2tpu.pipeline import host_synth
+
+        if not host_synth.available():
+            pytest.skip("native host codec unavailable")
     data = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
     sink = io.BytesIO()
-    dec = decode_stream.Decoder(output=DecOutput.DECODED, sink=sink)
+    dec = decode_stream.Decoder(output=DecOutput.DECODED, sink=sink,
+                                route=route)
     assert dec.run(data) == 0
     ref = open(os.path.join(GOLDEN, f"{case}.dec.16p2"), "rb").read()
     assert sink.getvalue() == ref

@@ -44,10 +44,21 @@ def ref_scale(v, q):
 @pytest.fixture(scope="module")
 def sweep():
     rng = np.random.default_rng(1)
+    # full exactness domain: everything up to |v| < 2^29 (where the
+    # reference's own |v|<<2 stays in int), incl. the high-magnitude band
+    # real transforms reach (~2^23, lifting.coefficient_bound) and every
+    # power-of-two neighbourhood where float32 rounding flips
+    pows = (1 << np.arange(20, 29)).astype(np.int64)
+    edges = np.concatenate([pows + d for d in (-2, -1, 0, 1, 2)])
     vals = np.concatenate([
         rng.integers(-(1 << 21), 1 << 21, 3000),
+        rng.integers(-(1 << 23), 1 << 23, 2000),
+        rng.integers(-(1 << 29) + 1, (1 << 29) - 1, 2000),
         np.arange(-64, 65),
-        np.array([(1 << 21) - 1, -(1 << 21) + 1, 1 << 20, -(1 << 20)]),
+        edges, -edges,
+        np.array([(1 << 21) - 1, -(1 << 21) + 1, 1 << 20, -(1 << 20),
+                  (1 << 29) - 1, -(1 << 29) + 1, 5_100_000, -5_100_000,
+                  7_300_000, -7_300_000]),
     ]).astype(np.int32)
     qs = np.arange(0, 120, dtype=np.int32)
     V = jnp.asarray(np.tile(vals, (len(qs), 1)))

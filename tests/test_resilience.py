@@ -43,6 +43,40 @@ def test_garbage_prefix_resync():
     assert sink.getvalue() == ref
 
 
+def test_corrupt_second_field_does_not_skew_pairing():
+    """Losing one field must not pair every later field off-by-one: the
+    buffered first field is dropped with the corrupt second one, and the
+    following frames still decode bit-exact."""
+    stream = bytearray((GOLDEN / "constq_interlaced.vc2").read_bytes())
+    ref = (GOLDEN / "constq_interlaced.dec.16p2").read_bytes()
+    pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xE8]
+    assert len(pics) >= 4 and len(pics) % 2 == 0
+    n_frames = len(pics) // 2
+    # corrupt the second field (picture 1) of frame 0
+    stream[pics[1] + 13 + 40] = 0xFF
+    stream[pics[1] + 13 + 41] = 0xFF
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(bytes(stream)) == 0
+    frame_bytes = len(ref) // n_frames
+    assert dec.frames_out == n_frames - 1
+    assert sink.getvalue() == ref[frame_bytes:]
+
+
+def test_truncated_final_slice_is_rejected():
+    """A final slice whose component data runs past the data-unit end must
+    fail the picture (and be skipped), not silently mis-seek the reader."""
+    from vc2tpu.slices.hq import scan_hq_slice_offsets
+    import numpy as np
+    import pytest
+
+    # a 1-slice payload claiming 200 component bytes but holding only 10
+    payload = np.frombuffer(
+        bytes([30, 100, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]), np.uint8)
+    with pytest.raises(ValueError):
+        scan_hq_slice_offsets(payload, 1, 0, 2, 0)
+
+
 def test_random_garbage_never_crashes():
     import numpy as np
 

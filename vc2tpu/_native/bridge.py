@@ -87,6 +87,12 @@ class _Native:
         lib.ld_encode.restype = ctypes.c_int
         lib.ld_dequantise_plane.argtypes = [p32, i64, i64, i64, i64, i64, p32,
                                             p32, p32]
+        p16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.idwt_plane.argtypes = [p32, i64, i64, i64, p32, p32, i64, i64]
+        lib.hq_dequant_scatter.argtypes = [p16, i64, i64, p32, p32, p32,
+                                           i64, i64, i64, i64, p32]
+        lib.clip_format_out.argtypes = [p32, i64, i64, i64, i64, pu8]
 
     def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
         self._lib.pack_codes(
@@ -156,13 +162,30 @@ class _Native:
             int(xs), int(ts), np.ascontiguousarray(qm_block, np.int32),
             np.ascontiguousarray(q_idx, np.int32), out)
 
+    def idwt_plane(self, plane, depth, meta, taps, shift):
+        H, W = plane.shape
+        self._lib.idwt_plane(plane, H, W, int(depth), meta, taps,
+                             meta.size // 5, int(shift))
+
+    def hq_dequant_scatter(self, lanes, q_idx, qm_lane, off_plane,
+                           xs, sh, sw, plane):
+        S, L = lanes.shape
+        self._lib.hq_dequant_scatter(
+            lanes, S, L, np.ascontiguousarray(q_idx, np.int32), qm_lane,
+            off_plane, int(xs), int(sh), int(sw), plane.shape[1], plane)
+
+    def clip_format_out(self, plane, out_h, out_w, bitdepth, out):
+        self._lib.clip_format_out(plane, plane.shape[1], int(out_h),
+                                  int(out_w), int(bitdepth), out)
+
 
 def _build() -> str | None:
     if not os.path.exists(_SRC):
         return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    base = ["-O3", "-shared", "-fPIC", "-std=c++14", _SRC, "-o", _SO]
+    base = ["-O3", "-fwrapv", "-shared", "-fPIC", "-std=c++14", _SRC,
+            "-o", _SO]
     for cxx in (os.environ.get("CXX"), "g++", "c++", "clang++"):
         if not cxx:
             continue

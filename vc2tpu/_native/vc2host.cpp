@@ -186,14 +186,12 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
     int16_t* row = out + s * n_lanes;
     uint32_t maxabs = 0;
     int64_t lane = 0;
-    while (lane < n_lanes) {
-      if (pos >= lim) {
-        for (; lane < n_lanes; ++lane) row[lane] = 0;
-        break;
-      }
+    // decode one code at [base+pos] via a fresh bound-masked 64-bit peek —
+    // the safe path used near the region end and for pathological codes
+    auto decode_one_peek = [&]() {
       const uint64_t w = peek64(buf, buflen, base + pos, lim - pos);
       const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
-      if (follow == 0) { overflow = 1; row[lane++] = 0; pos = lim; continue; }
+      if (follow == 0) { overflow = 1; row[lane++] = 0; pos = lim; return; }
       const int j = __builtin_clzll(follow) >> 1;
       int consumed = 2 * j + 1;
       uint32_t mag = 0;
@@ -218,6 +216,78 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
       }
       row[lane++] = static_cast<int16_t>(v);
       pos += consumed;
+    };
+    while (lane < n_lanes) {
+      if (pos >= lim) {
+        for (; lane < n_lanes; ++lane) row[lane] = 0;
+        break;
+      }
+      if (pos + 64 > lim) {         // tail regime: bound-masked per-code peek
+        decode_one_peek();
+        continue;
+      }
+      if (((base + pos) >> 3) + 9 > buflen) {  // window would cross the
+        decode_one_peek();                     // buffer end: masked peek
+        continue;
+      }
+      // Rolling-window fast regime: the window lies wholly inside the bound
+      // and the buffer, so no masking is needed. One unaligned 64-bit load
+      // serves several codes (typical code: 3-17 bits); reload when fewer
+      // than 41 bits remain, so every code with j <= 19 (magnitude < 2^20 —
+      // far beyond the int16 overflow horizon) decodes in-register.
+      {
+        auto load_window = [&](int64_t abspos) {
+          const int64_t fb = abspos >> 3;
+          const int mis = static_cast<int>(abspos & 7);
+          uint64_t a;
+          std::memcpy(&a, buf + fb, 8);
+          uint64_t win = bswap64(a) << mis;
+          if (mis) win |= static_cast<uint64_t>(buf[fb + 8]) >> (8 - mis);
+          return win;
+        };
+        uint64_t w = load_window(base + pos);
+        int navail = 64;
+        while (lane < n_lanes && pos + 64 <= lim) {
+          if (navail <= 40) {
+            if (((base + pos) >> 3) + 9 > buflen) break;  // back to peek path
+            w = load_window(base + pos);
+            navail = 64;
+          }
+          const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
+          int j;
+          if (follow == 0 || (j = __builtin_clzll(follow) >> 1,
+                              2 * j + 2 > navail)) {
+            decode_one_peek();      // pathological code: re-sync the window
+            break;
+          }
+          int consumed = 2 * j + 1;
+          uint32_t mag = 0;
+          if (j > 0) {
+#if defined(__BMI2__)
+            const uint32_t data =
+                static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
+            mag = ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+            uint32_t data = 0;
+            for (int t = 0; t < j; ++t)
+              data = (data << 1) |
+                     static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
+            mag = ((1u << j) | data) - 1u;
+#endif
+          }
+          if (mag > 32767u) overflow = 1;
+          if (mag > maxabs) maxabs = mag;
+          int32_t v = static_cast<int32_t>(mag);
+          if (v != 0) {
+            if (w >> (63 - consumed) & 1) v = -v;
+            ++consumed;
+          }
+          row[lane++] = static_cast<int16_t>(v);
+          pos += consumed;
+          w <<= consumed;
+          navail -= consumed;
+        }
+      }
     }
     widths[s] = static_cast<uint8_t>(maxabs ? (33 - __builtin_clz(maxabs))
                                             : 0);
@@ -311,6 +381,8 @@ EXPORT int64_t scan_hq_offsets(const uint8_t* payload, int64_t paylen,
       pos += size;
     }
   }
+  // component data of the final slice may have skipped past the payload
+  if (pos > paylen) return -1;
   return pos;
 }
 
@@ -628,5 +700,294 @@ EXPORT void component_bits_used(const int32_t* lanes, int64_t S, int64_t n_lanes
       count = gross;
     }
     out[s] = static_cast<int32_t>(count);
+  }
+}
+
+// ---------------------------------------------------- host synthesis tail
+// Link-failover decode path: when the host<->device link is slower than one
+// CPU core (common behind network-attached accelerators), the decoder routes
+// the synthesis tail (dequant + inverse DWT + clip + planar format) to these
+// functions instead of fetching 5.5 MB/frame of decoded samples. Bit-exact
+// twin of the device path (pipeline/decoder.py) and of the reference tail
+// (/root/reference/src/DecodeStream/DecodeStream.cpp:551-609).
+//
+// The inverse DWT is a generic lifting-ladder engine driven by the SAME step
+// tables as vc2tpu.wavelet.lifting._STEPS (the Python side passes the
+// already-inverted ladder: reversed steps, flipped signs). Edge handling is
+// index clamping to [0, n-1] in parity space, as the reference's clamped
+// taps (WaveletTransform.cpp:495-498).
+
+// One lifting step applied to contiguous parity arrays tgt[n_t] from
+// src[n_src]: tgt[i] += sign * ((sum_k coeff_k * src[clamp(i+off_k)] + add)
+// >> shift). Interior (no clamping needed) is a plain vectorisable loop.
+template <int NT>
+static inline void step_rows_1d(int32_t* tgt, const int32_t* src,
+                                int64_t n_t, int64_t n_src,
+                                const int32_t* offs, const int32_t* coeffs,
+                                int sign, int add, int shift) {
+  int64_t lo = 0, hi = 0;
+  for (int k = 0; k < NT; ++k) {
+    if (offs[k] < lo) lo = offs[k];
+    if (offs[k] > hi) hi = offs[k];
+  }
+  const int64_t i0 = -lo;                      // first interior index
+  const int64_t i1 = n_src - hi < n_t ? (n_src - hi > 0 ? n_src - hi : 0)
+                                      : n_t;   // one past last interior
+  for (int64_t i = 0; i < (i0 < n_t ? i0 : n_t); ++i) {
+    int32_t a = add;
+    for (int k = 0; k < NT; ++k) {
+      int64_t j = i + offs[k];
+      if (j < 0) j = 0; else if (j >= n_src) j = n_src - 1;
+      a += coeffs[k] * src[j];
+    }
+    tgt[i] += sign * (a >> shift);
+  }
+  for (int64_t i = i0; i < i1; ++i) {
+    int32_t a = add;
+    for (int k = 0; k < NT; ++k) a += coeffs[k] * src[i + offs[k]];
+    tgt[i] += sign * (a >> shift);
+  }
+  for (int64_t i = (i1 > i0 ? i1 : i0); i < n_t; ++i) {
+    int32_t a = add;
+    for (int k = 0; k < NT; ++k) {
+      int64_t j = i + offs[k];
+      if (j < 0) j = 0; else if (j >= n_src) j = n_src - 1;
+      a += coeffs[k] * src[j];
+    }
+    tgt[i] += sign * (a >> shift);
+  }
+}
+
+static void step_1d(int32_t* tgt, const int32_t* src, int64_t n_t,
+                    int64_t n_src, int ntaps, const int32_t* offs,
+                    const int32_t* coeffs, int sign, int add, int shift) {
+  switch (ntaps) {
+    case 1: step_rows_1d<1>(tgt, src, n_t, n_src, offs, coeffs, sign, add, shift); break;
+    case 2: step_rows_1d<2>(tgt, src, n_t, n_src, offs, coeffs, sign, add, shift); break;
+    case 4: step_rows_1d<4>(tgt, src, n_t, n_src, offs, coeffs, sign, add, shift); break;
+    case 8: step_rows_1d<8>(tgt, src, n_t, n_src, offs, coeffs, sign, add, shift); break;
+    default:
+      for (int64_t i = 0; i < n_t; ++i) {
+        int32_t a = add;
+        for (int k = 0; k < ntaps; ++k) {
+          int64_t j = i + offs[k];
+          if (j < 0) j = 0; else if (j >= n_src) j = n_src - 1;
+          a += coeffs[k] * src[j];
+        }
+        tgt[i] += sign * (a >> shift);
+      }
+  }
+}
+
+// Vertical variant: parity "arrays" are rows of the sub-lattice (elements at
+// stride es within the row); tap source rows clamp per row, the inner x loop
+// is contiguous for es == 1.
+template <int NT>
+static inline void step_rows_vert(int32_t* base, int64_t row_pitch,
+                                  int64_t t_parity, int64_t n_t, int64_t n_src,
+                                  int64_t wlen, int64_t es,
+                                  const int32_t* offs, const int32_t* coeffs,
+                                  int sign, int add, int shift) {
+  const int32_t* srow[NT];
+  for (int64_t i = 0; i < n_t; ++i) {
+    int32_t* tgt = base + (2 * i + t_parity) * row_pitch;
+    for (int k = 0; k < NT; ++k) {
+      int64_t j = i + offs[k];
+      if (j < 0) j = 0; else if (j >= n_src) j = n_src - 1;
+      srow[k] = base + (2 * j + (1 - t_parity)) * row_pitch;
+    }
+    if (es == 1) {
+      for (int64_t x = 0; x < wlen; ++x) {
+        int32_t a = add;
+        for (int k = 0; k < NT; ++k) a += coeffs[k] * srow[k][x];
+        tgt[x] += sign * (a >> shift);
+      }
+    } else {
+      for (int64_t x = 0; x < wlen; ++x) {
+        int32_t a = add;
+        for (int k = 0; k < NT; ++k) a += coeffs[k] * srow[k][x * es];
+        tgt[x * es] += sign * (a >> shift);
+      }
+    }
+  }
+}
+
+static void step_vert(int32_t* base, int64_t row_pitch, int64_t t_parity,
+                      int64_t n_t, int64_t n_src, int64_t wlen, int64_t es,
+                      int ntaps, const int32_t* offs, const int32_t* coeffs,
+                      int sign, int add, int shift) {
+  switch (ntaps) {
+    case 1: step_rows_vert<1>(base, row_pitch, t_parity, n_t, n_src, wlen, es, offs, coeffs, sign, add, shift); break;
+    case 2: step_rows_vert<2>(base, row_pitch, t_parity, n_t, n_src, wlen, es, offs, coeffs, sign, add, shift); break;
+    case 4: step_rows_vert<4>(base, row_pitch, t_parity, n_t, n_src, wlen, es, offs, coeffs, sign, add, shift); break;
+    case 8: step_rows_vert<8>(base, row_pitch, t_parity, n_t, n_src, wlen, es, offs, coeffs, sign, add, shift); break;
+    default: break;  // tap counts are 1/2/4/8 in every VC-2 kernel
+  }
+}
+
+// Inverse DWT over an in-place transform-layout plane. ``meta``/``taps``
+// encode the ALREADY-INVERTED ladder (reversed order, flipped sign):
+// meta[s*5..] = {target parity (0=e,1=o), sign, add, shift, ntaps};
+// taps = concatenated (offset, coeff) pairs. ``shift_out`` is the kernel
+// accuracy shift removed per level: v = (v + (1 << (shift-1))) >> shift.
+EXPORT void idwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
+                       const int32_t* meta, const int32_t* taps,
+                       int64_t n_steps, int64_t shift_out) {
+  // scratch for horizontal deinterleave (one row's parity halves)
+  static thread_local int32_t* tmp = nullptr;
+  static thread_local int64_t tmp_cap = 0;
+  if (tmp_cap < W + 16) {
+    delete[] tmp;
+    tmp_cap = W + 16;
+    tmp = new int32_t[tmp_cap];
+  }
+  for (int64_t level = depth - 1; level >= 0; --level) {
+    const int64_t s = int64_t(1) << level;
+    const int64_t hs = H >> level, ws = W >> level;
+    const int64_t row_pitch = s * W;
+    const int64_t ne_r = (hs + 1) / 2, no_r = hs / 2;
+    // vertical passes
+    {
+      const int32_t* tp = taps;
+      for (int64_t st = 0; st < n_steps; ++st) {
+        const int32_t* m = meta + st * 5;
+        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
+        int32_t offs[8], coeffs[8];
+        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
+        tp += 2 * nt;
+        step_vert(plane, row_pitch, t, t ? no_r : ne_r, t ? ne_r : no_r,
+                  ws, s, nt, offs, coeffs, sign, add, sh);
+      }
+    }
+    // horizontal passes: deinterleave each sub-lattice row once, run the
+    // whole ladder on contiguous halves, interleave back
+    const int64_t ne_c = (ws + 1) / 2, no_c = ws / 2;
+    for (int64_t r = 0; r < hs; ++r) {
+      int32_t* row = plane + r * row_pitch;
+      int32_t* e = tmp;
+      int32_t* o = tmp + ne_c;
+      if (s == 1) {
+        for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i]; o[i] = row[2 * i + 1]; }
+        if (ws & 1) e[ne_c - 1] = row[ws - 1];
+      } else {
+        for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i * s]; o[i] = row[(2 * i + 1) * s]; }
+        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s];
+      }
+      const int32_t* tp = taps;
+      for (int64_t st = 0; st < n_steps; ++st) {
+        const int32_t* m = meta + st * 5;
+        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
+        int32_t offs[8], coeffs[8];
+        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
+        tp += 2 * nt;
+        if (t) step_1d(o, e, no_c, ne_c, nt, offs, coeffs, sign, add, sh);
+        else   step_1d(e, o, ne_c, no_c, nt, offs, coeffs, sign, add, sh);
+      }
+      if (shift_out) {
+        const int32_t half = 1 << (shift_out - 1);
+        for (int64_t i = 0; i < ne_c; ++i) e[i] = (e[i] + half) >> shift_out;
+        for (int64_t i = 0; i < no_c; ++i) o[i] = (o[i] + half) >> shift_out;
+      }
+      if (s == 1) {
+        for (int64_t i = 0; i < no_c; ++i) { row[2 * i] = e[i]; row[2 * i + 1] = o[i]; }
+        if (ws & 1) row[ws - 1] = e[ne_c - 1];
+      } else {
+        for (int64_t i = 0; i < no_c; ++i) { row[2 * i * s] = e[i]; row[(2 * i + 1) * s] = o[i]; }
+        if (ws & 1) row[(ws - 1) * s] = e[ne_c - 1];
+      }
+    }
+  }
+}
+
+// Inverse-quantise entropy-decoded slice lanes straight into the in-place
+// transform-layout plane. Lanes are band-contiguous (slices/layout
+// .lane_order); ``off_plane`` maps lane k to its row-major offset inside the
+// slice block pre-scaled to plane coordinates, ``qm_lane`` is the per-lane
+// quant-matrix value. Flat over lanes with precomputed factor/offset LUTs —
+// slices are tiny (2x2 is the production geometry) so per-band inner loops
+// would drown in loop overhead.
+static int32_t kQfLut[120], kQoLut[120];
+static bool init_qlut() {
+  for (int q = 0; q < 120; ++q) { kQfLut[q] = qf_i32(q); kQoLut[q] = qoffset_i32(q); }
+  return true;
+}
+static const bool kQlutInit = init_qlut();
+
+template <int LFIX>
+static void dequant_scatter_impl(const int16_t* lanes, int64_t S, int64_t L,
+                                 const int32_t* q_idx,
+                                 const int32_t* qm_lane,
+                                 const int32_t* off_plane,
+                                 int64_t xs, int64_t sh, int64_t sw,
+                                 int64_t W, int32_t* plane) {
+  const int64_t Lr = LFIX ? LFIX : L;
+  const int16_t* lv = lanes;
+  const int32_t* qp = q_idx;
+  for (int64_t sy = 0; sy < S / xs; ++sy) {
+    int32_t* row_base = plane + sy * sh * W;
+    for (int64_t sx = 0; sx < xs; ++sx, lv += Lr) {
+      int32_t* base = row_base + sx * sw;
+      const int q = *qp++;
+      for (int64_t k = 0; k < Lr; ++k) {
+        int aq = q - qm_lane[k];
+        if (aq < 0) aq = 0; else if (aq > 119) aq = 119;
+        int32_t v = lv[k];
+        const int32_t neg = v >> 31;          // branchless |v| and re-sign
+        v = (v ^ neg) - neg;
+        v *= kQfLut[aq];
+        v += kQoLut[aq] & -static_cast<int32_t>(v > 0);  // += qo iff v > 0
+        v += 2;
+        v = v < 0 ? -((-v) >> 2) : v >> 2;    // trunc /4 even after int32 wrap
+        base[off_plane[k]] = (v ^ neg) - neg;
+      }
+    }
+  }
+}
+
+EXPORT void hq_dequant_scatter(const int16_t* lanes, int64_t S, int64_t L,
+                               const int32_t* q_idx, const int32_t* qm_lane,
+                               const int32_t* off_plane,
+                               int64_t xs, int64_t sh, int64_t sw, int64_t W,
+                               int32_t* plane) {
+  // production geometries use tiny slices; a compile-time lane count lets
+  // the compiler fully unroll the inner loop
+  switch (L) {
+    case 2: dequant_scatter_impl<2>(lanes, S, L, q_idx, qm_lane, off_plane, xs, sh, sw, W, plane); break;
+    case 4: dequant_scatter_impl<4>(lanes, S, L, q_idx, qm_lane, off_plane, xs, sh, sw, W, plane); break;
+    case 8: dequant_scatter_impl<8>(lanes, S, L, q_idx, qm_lane, off_plane, xs, sh, sw, W, plane); break;
+    case 16: dequant_scatter_impl<16>(lanes, S, L, q_idx, qm_lane, off_plane, xs, sh, sw, W, plane); break;
+    default: dequant_scatter_impl<0>(lanes, S, L, q_idx, qm_lane, off_plane, xs, sh, sw, W, plane);
+  }
+}
+
+// Clip to signal range, add the offset-binary zero point and emit the wire
+// format: uint8 for 8-bit video, MSB-justified big-endian uint16 otherwise
+// (reference src/Library/src/Arrays.cpp:381-426 word formatting).
+EXPORT void clip_format_out(const int32_t* plane, int64_t W,
+                            int64_t out_h, int64_t out_w, int64_t bitdepth,
+                            uint8_t* out) {
+  const int32_t zero = 1 << (bitdepth - 1);
+  if (bitdepth <= 8) {
+    uint8_t* o = out;
+    for (int64_t y = 0; y < out_h; ++y) {
+      const int32_t* r = plane + y * W;
+      for (int64_t x = 0; x < out_w; ++x) {
+        int32_t v = r[x];
+        if (v < -zero) v = -zero; else if (v > zero - 1) v = zero - 1;
+        *o++ = static_cast<uint8_t>(v + zero);
+      }
+    }
+  } else {
+    const int just = 16 - bitdepth;
+    uint16_t* o = reinterpret_cast<uint16_t*>(out);
+    for (int64_t y = 0; y < out_h; ++y) {
+      const int32_t* r = plane + y * W;
+      for (int64_t x = 0; x < out_w; ++x) {
+        int32_t v = r[x];
+        if (v < -zero) v = -zero; else if (v > zero - 1) v = zero - 1;
+        const uint16_t u = static_cast<uint16_t>((v + zero) << just);
+        *o++ = static_cast<uint16_t>((u << 8) | (u >> 8));
+      }
+    }
   }
 }

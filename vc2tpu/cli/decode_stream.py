@@ -10,15 +10,17 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
+import time
 
 import numpy as np
 
 from vc2tpu.core.config import DecOutput, PictureGeometry
 from vc2tpu.core.picture import Picture
 from vc2tpu.core.planario import SampleFormat, write_picture
-from vc2tpu.pipeline.decoder import (synthesise_batch_to_words,
-                                     synthesise_lanes, synthesise_to_words,
+from vc2tpu.pipeline import host_synth
+from vc2tpu.pipeline.decoder import (synthesise_lanes, synthesise_to_words,
                                      synthesise_transform_to_words)
 from vc2tpu.pipeline.encoder import SliceGeometry
 from vc2tpu.pipeline import ld as ld_pipeline
@@ -65,7 +67,7 @@ class Decoder:
     """Stateful stream decoder usable as a library (the CLI drives it)."""
 
     def __init__(self, output: DecOutput = DecOutput.DECODED, verbose=False,
-                 sink=None):
+                 sink=None, route: str | None = None):
         self.output = output
         self.verbose = verbose
         self.sink = sink
@@ -79,14 +81,19 @@ class Decoder:
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
         self._widths = None           # fixed-pack widths from the unpack
-        self._batch = []              # staged (combined, q_idx) frames
-        self._batch_meta = None       # dispatch params of the staged frames
-        self._batch_key = None        # hashable geometry key of the stage
-        # frames per device dispatch: >1 stages frames into one vmapped
-        # dispatch + one fetch. Measured on the tunnel-attached chip the
-        # per-frame pipeline overlaps better (batching adds a host-side
-        # fixedpack burst before any device work), so default to 1.
-        self._batch_size = 1
+        # Synthesis route: the decoded-output tail runs on the device (one
+        # narrow H2D + fused dequant/IDWT/format + one D2H fetch) or on the
+        # native host engine (host_synth) — for decode the host already holds
+        # all information, so when the host<->device link is slower than one
+        # CPU core the fetch is pure overhead (BASELINE.md "link ceiling").
+        # 'auto' times the first frame's host synthesis against a measured
+        # link probe and commits; VC2TPU_DECODE_ROUTE=device|host overrides.
+        self._route_mode = (route or
+                            os.environ.get("VC2TPU_DECODE_ROUTE", "auto"))
+        self._route = (self._route_mode
+                       if self._route_mode in ("device", "host") else None)
+        if self._route != "device" and not host_synth.available():
+            self._route = "device"
 
     def log(self, msg):
         if self.verbose:
@@ -105,28 +112,48 @@ class Decoder:
                 self.sink.write(chunk)
                 self.frames_out += 1
 
-    def _dispatch_batch(self):
-        if not self._batch:
-            return
-        (qmatrix, kernel, depth, geo, out_geom, bitdepth) = self._batch_meta
-        frames = self._batch
-        self._batch = []
-        real = len(frames)
-        pad = self._batch_size - real          # keep one compiled batch size
-        frames = frames + [frames[0]] * pad
-        words, post = synthesise_batch_to_words(
-            frames, qmatrix, kernel, depth, geo, out_geom, bitdepth)
-        if pad:
-            inner = post
-            post = lambda a: inner(a)[:real]
-        self._flush(keep=self._depth - 1)
-        self._pending.append((words, post))
-        self.frame += real
-
     def _write(self, data: bytes):
-        self._dispatch_batch()
         self._flush()
         self.sink.write(data)
+
+    # --- adaptive synthesis routing ---
+
+    _probe_cache: dict = {}           # process-wide: nbytes -> seconds
+
+    def _probe_link_seconds(self, nbytes: int) -> float:
+        """Measured device->host fetch time for an ``nbytes`` buffer (the
+        device route's per-frame link cost). Two reps, min (the first may
+        absorb a trivial compile); cached process-wide — the link does not
+        change between streams."""
+        cached = Decoder._probe_cache.get(nbytes)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+
+        n = max(nbytes // 4, 1)
+        best = float("inf")
+        for i in range(2):
+            a = jnp.zeros((n,), jnp.uint32) + np.uint32(i)
+            t0 = time.perf_counter()
+            np.asarray(a)
+            best = min(best, time.perf_counter() - t0)
+        Decoder._probe_cache[nbytes] = best
+        return best
+
+    def _auto_route(self, host_fn, out_bytes: int):
+        """Time this frame's host synthesis against a link probe, commit the
+        route, and return the (already computed) host result."""
+        t0 = time.perf_counter()
+        res = host_fn()
+        host_t = time.perf_counter() - t0
+        try:
+            dev_est = self._probe_link_seconds(out_bytes)
+        except Exception:
+            dev_est = float("inf")
+        self._route = "host" if host_t < dev_est else "device"
+        self.log(f"decode route: host synth {host_t * 1e3:.0f} ms/frame vs "
+                 f"link fetch {dev_est * 1e3:.0f} ms -> {self._route}")
+        return res
 
     def _emit_words(self, words, post):
         """Fast decoded-output path: ``words`` is the device buffer of
@@ -225,34 +252,36 @@ class Decoder:
                                        dequant_only=True)
                 write_picture(self.sink, pic, sig_fmt)
                 return
-            # DECODED: fused device tail (dequant+IDWT+clip+format), async,
-            # fed by ONE host->device copy of the combined coefficient buffer
+            # DECODED: fused synthesis tail (dequant+IDWT+clip+format) on the
+            # adaptively chosen route — device (one narrow H2D + one packed
+            # D2H, async) or native host (no device traffic at all)
             combined = self._combined
             if combined is None:
                 combined = np.concatenate(
                     [np.asarray(a).ravel() for a in (ly, lu, lv)]).astype(np.int32)
-            if (self._batch_size > 1 and not hdr.interlace
-                    and isinstance(combined, np.ndarray)
-                    and combined.dtype == np.int16):
-                # stage for the batched dispatch (one transfer per B frames)
-                key = (pre.wavelet_kernel, pre.depth, geo.y_slices,
-                       geo.x_slices, geo.luma_slice, geo.chroma_slice,
-                       out_geom.luma_height, out_geom.luma_width,
-                       hdr.bitdepth)
-                if self._batch and self._batch_key != key:
-                    self._dispatch_batch()
-                self._batch_key = key
-                self._batch_meta = (qmatrix, pre.wavelet_kernel, pre.depth,
-                                    geo, out_geom, hdr.bitdepth)
-                self._batch.append((combined, q_idx))
-                if len(self._batch) >= self._batch_size:
-                    self._dispatch_batch()
-                return
-            self._dispatch_batch()
-            words, post = synthesise_to_words(
-                combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
-                geo, out_geom, hdr.bitdepth,
-                allow_pack=not hdr.interlace, widths=self._widths)
+            can_host = (host_synth.available()
+                        and isinstance(combined, np.ndarray)
+                        and combined.dtype == np.int16)
+            if self._route is None and can_host:
+                samples = (out_geom.luma_height * out_geom.luma_width
+                           + 2 * out_geom.chroma_height * out_geom.chroma_width)
+                if hdr.bitdepth == 10 and not hdr.interlace:
+                    fetch_bytes = 4 * ((samples + 2) // 3)
+                else:
+                    fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
+                words, post = self._auto_route(
+                    lambda: host_synth.synthesise_to_words_host(
+                        combined, q_idx, qmatrix, pre.wavelet_kernel,
+                        pre.depth, geo, out_geom, hdr.bitdepth), fetch_bytes)
+            elif self._route == "host" and can_host:
+                words, post = host_synth.synthesise_to_words_host(
+                    combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
+                    geo, out_geom, hdr.bitdepth)
+            else:
+                words, post = synthesise_to_words(
+                    combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
+                    geo, out_geom, hdr.bitdepth,
+                    allow_pack=not hdr.interlace, widths=self._widths)
             self._emit_words(words, post)
             return
         else:
@@ -272,11 +301,26 @@ class Decoder:
             if self.output == DecOutput.TRANSFORM:
                 write_picture(self.sink, transform, sig_fmt)
                 return
-            # fused device tail (IDWT + clip + format), async
-            self._dispatch_batch()
-            words, post = synthesise_transform_to_words(
-                transform, pre.wavelet_kernel, pre.depth, out_geom,
-                hdr.bitdepth, allow_pack=not hdr.interlace)
+            # fused synthesis tail (IDWT + clip + format), adaptively routed
+            if self._route is None and host_synth.available():
+                samples = (out_geom.luma_height * out_geom.luma_width
+                           + 2 * out_geom.chroma_height * out_geom.chroma_width)
+                if hdr.bitdepth == 10 and not hdr.interlace:
+                    fetch_bytes = 4 * ((samples + 2) // 3)
+                else:
+                    fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
+                words, post = self._auto_route(
+                    lambda: host_synth.synthesise_transform_to_words_host(
+                        transform, pre.wavelet_kernel, pre.depth, out_geom,
+                        hdr.bitdepth), fetch_bytes)
+            elif self._route == "host":
+                words, post = host_synth.synthesise_transform_to_words_host(
+                    transform, pre.wavelet_kernel, pre.depth, out_geom,
+                    hdr.bitdepth)
+            else:
+                words, post = synthesise_transform_to_words(
+                    transform, pre.wavelet_kernel, pre.depth, out_geom,
+                    hdr.bitdepth, allow_pack=not hdr.interlace)
             self._emit_words(words, post)
             return
 
@@ -289,7 +333,6 @@ class Decoder:
         rd.r.seek(rd.r.byte_pos - 4)
         while True:
             if rd.eof():
-                self._dispatch_batch()
                 self._flush()
                 self.log("End of data stream reached successfully, exiting.")
                 return 0
@@ -302,7 +345,6 @@ class Decoder:
                 print(f"Bad parse info ({exc}); resynchronising",
                       file=sys.stderr)
                 if not rd.synchronise():
-                    self._dispatch_batch()
                     self._flush()
                     return 0
                 rd.r.seek(rd.r.byte_pos - 4)
@@ -353,10 +395,14 @@ class Decoder:
                     # dataunitio::synchronise resync)
                     print(f"Failed to read {'HQ' if hq else 'LD'} compressed "
                           f"frame ({exc})", file=sys.stderr)
+                    # drop any buffered first field: a lost second field must
+                    # not pair subsequent fields off-by-one for the rest of
+                    # the sequence
+                    self.pic = 0
+                    self._first_words = None
                     if next_off >= 13:
                         rd.r.seek(body_start - 13 + next_off)
                     elif not rd.synchronise():
-                        self._dispatch_batch()
                         self._flush()
                         return 0
                     else:

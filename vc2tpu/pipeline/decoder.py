@@ -253,75 +253,6 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
     return out, post
 
 
-@functools.lru_cache(maxsize=16)
-def _synthesis_batch_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
-                        bitdepth: int, pack10: bool):
-    """vmapped batch variant of _synthesis_bytes_fn (fixed-width packed
-    inputs): one dispatch + ONE device->host copy for B frames, amortising
-    the per-transfer link latency."""
-    single = _synthesis_bytes_fn(kernel, depth, geo_key, out_key, bitdepth,
-                                 pack10)
-
-    def fn(packed, q_idx, qm_bands, widths):
-        return jax.vmap(lambda p, q, w: single(p, q, qm_bands, widths=w)
-                        )(packed, q_idx, widths)
-
-    return jax.jit(fn)
-
-
-def synthesise_batch_to_words(frames, qmatrix, kernel: WaveletKernel,
-                              depth: int, geo, out_geometry: PictureGeometry,
-                              bitdepth: int):
-    """Batched fast path. ``frames`` is a list of (combined int16, q_idx).
-    Returns (device_words (B, M), post) where post(np_batch) -> list of
-    per-frame wire bytes."""
-    n = geo.n_slices
-    Ly = geo.luma_slice[0] * geo.luma_slice[1]
-    Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
-    B = len(frames)
-    qm_bands = jnp.asarray(qmatrix.astype(np.int32))
-    geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice, *geo.chroma_slice)
-    out_key = (out_geometry.luma_height, out_geometry.luma_width,
-               out_geometry.chroma_height, out_geometry.chroma_width)
-    widths = np.empty((B, 3 * n), np.uint8)
-    packs = []
-    max_words = 0
-    for i, (combined, _q) in enumerate(frames):
-        scratch = np.zeros(_bucket((combined.size * 16 + 63) // 32 + 2),
-                           np.uint32)
-        b = native.fixedpack(combined[:n * Ly], n, Ly, widths[i, :n],
-                             scratch, 0)
-        b = native.fixedpack(combined[n * Ly:n * (Ly + Lc)], n, Lc,
-                             widths[i, n:2 * n], scratch, b)
-        b = native.fixedpack(combined[n * (Ly + Lc):], n, Lc,
-                             widths[i, 2 * n:], scratch, b)
-        words = int(b + 31) // 32 + 1
-        max_words = max(max_words, words)
-        packs.append(scratch)
-    m = _bucket(max_words)
-    packed = np.zeros((B, m), np.uint32)
-    for i, s in enumerate(packs):
-        k = min(m, s.size)
-        packed[i, :k] = s[:k]
-    q_idx = np.stack([np.asarray(q, np.int32) for (_c, q) in frames])
-    pack10 = bitdepth == 10
-    fn = _synthesis_batch_fn(kernel, depth, geo_key, out_key, bitdepth,
-                             pack10)
-    out = fn(jnp.asarray(packed), jnp.asarray(q_idx), qm_bands,
-             jnp.asarray(widths))
-    try:
-        out.copy_to_host_async()
-    except Exception:
-        pass
-    if pack10:
-        ns = (out_geometry.luma_height * out_geometry.luma_width
-              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
-        post = lambda a: [_unpack10(a[i], ns) for i in range(a.shape[0])]
-    else:
-        post = lambda a: [a[i].tobytes() for i in range(a.shape[0])]
-    return out, post
-
-
 @functools.lru_cache(maxsize=32)
 def _synthesis_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
                   chroma_format: ColourFormat):

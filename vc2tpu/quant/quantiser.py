@@ -80,24 +80,37 @@ def _trunc_div_i32(a, b):
 
 
 # |quant_factor| and its float32 reciprocal — TPUs have no integer divide
-# unit, so quant() computes a float32 reciprocal estimate and repairs it with
-# two exact int32 multiply-compare corrections. Exact for magnitudes below
-# 2^24 after the <<2 (i.e. |v| < 2^22), which bounds every coefficient a
-# <=16-bit-deep VC-2 transform can produce.
+# unit, so quant() computes a float32 reciprocal estimate and makes it exact
+# with a residual refinement step plus two +-1 fix-up rounds (below).
 ABS_QF_I32 = np.minimum(np.abs(QUANT_FACTORS_I32.astype(np.int64)),
                         2**31 - 1).astype(np.int32)   # INT_MIN entry clamps;
-# quotients are unchanged for all in-domain magnitudes (< 2^24 << 2^31-1)
+# the <<2 magnitude is a multiple of 4 and < 2^31, so no quotient changes
 RECIP_QF_F32 = (np.float32(1.0) / ABS_QF_I32.astype(np.float32))
 
 
 def _quant_core(v, absqf, recip, neg_qf):
+    """Exact floor(mag / absqf) over the whole non-wrapping magnitude domain
+    (|v| < 2^29, so the <<2 stays in int32 — far above the ~2^23 coefficient
+    ceiling of any legal VC-2 transform, see lifting.coefficient_bound):
+
+    1. float32 reciprocal estimate: |error| <= Q*3*2^-24 + 1 quotient units;
+    2. residual refinement: the residual r0 = mag - out*qf is small, so a
+       second reciprocal multiply of r0 recovers all but <= 2 units (the
+       truncate-vs-floor slack on negative residuals plus one float ulp);
+    3. two exact int32 multiply-compare +-1 corrections land the floor.
+
+    int32 wrap-around in the residuals is harmless: the true residual
+    magnitude is always < 2^31 so modular arithmetic yields its exact value.
+    Verified by the exhaustive high-magnitude sweep in
+    tests/test_quant_exact.py.
+    """
     mag = jnp.abs(v) << 2
     out = (mag.astype(jnp.float32) * recip).astype(jnp.int32)
-    # one exact fix-up round: the estimate's error is < 0.2 for the legal
-    # |v| < 2^22 domain (float32 mul of a < 2^24 exact value), so a single
-    # +-1 correction lands the floor exactly (tests/test_quant_exact.py)
     r = mag - out * absqf
-    out = out + (r >= absqf).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    out = out + (r.astype(jnp.float32) * recip).astype(jnp.int32)
+    for _ in range(2):
+        r = mag - out * absqf
+        out = out + (r >= absqf).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     out = jnp.where(neg_qf, -out, out)       # int32-wrapped table entries
     return jnp.where(v < 0, -out, out).astype(jnp.int32)
 
@@ -116,7 +129,8 @@ def quant(values, q_indices):
     checks the <=119 domain, as the reference throws there).
 
     Matches the reference's ``sign * ((|v| << 2) / quant_factor(q))``
-    (Quantisation.cpp:69-76) bit-exactly for |v| < 2^22. Prefer
+    (Quantisation.cpp:69-76) bit-exactly for |v| < 2^29 (the whole domain
+    where the reference's own <<2 does not overflow int). Prefer
     quant_banded on the hot paths — it gathers tables per subband instead of
     per element.
     """

@@ -167,6 +167,8 @@ def scan_hq_slice_offsets(payload: np.ndarray, n_slices: int, prefix: int,
             dstart[c, i] = pos
             cbytes[c, i] = size
             pos += size
+    if pos > len(payload):
+        raise ValueError("slice payload runs past the end of the data unit")
     return q, dstart, cbytes, pos
 
 

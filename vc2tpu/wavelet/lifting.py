@@ -332,7 +332,7 @@ def bands_to_lanes(bands, y_slices: int, x_slices: int):
         lead = b.shape[:-2]
         t = b.reshape(lead + (y_slices, sh, x_slices, sw))
         axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
-        t = t.transpose(axes) if isinstance(t, jnp.ndarray) else t.transpose(axes)
+        t = t.transpose(axes)
         parts.append(t.reshape(lead + (y_slices * x_slices, sh * sw)))
     return jnp.concatenate(parts, axis=-1)
 
