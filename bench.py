@@ -133,6 +133,28 @@ def main() -> int:
           f"(ref {BASELINE_DECODE_FPS}, {dec_fps / BASELINE_DECODE_FPS:.1f}x)",
           file=sys.stderr)
 
+    # secondary: LD profile (obsolete; host-routed analysis transform)
+    try:
+        from vc2tpu.pipeline.ld import LDEncoder
+
+        ld_cfg = EncoderConfig(height=h, width=w,
+                               chroma_format=ColourFormat.CF422,
+                               kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                               y_size=2, x_size=2, mode=Mode.LD,
+                               luma_depth=bits, chroma_depth=bits,
+                               frame_rate=FrameRate.FR50,
+                               compressed_bytes=829440)
+        ld = LDEncoder(ld_cfg)
+        ld.encode_picture(pics[0])
+        t0 = time.perf_counter()
+        for p in pics[:6]:
+            ld.encode_picture(p)
+        ld_fps = 6 / (time.perf_counter() - t0)
+        print(f"bench: LD encode {ld_fps:.2f} fps (ref 0.26, "
+              f"{ld_fps / 0.26:.1f}x, route={ld._route})", file=sys.stderr)
+    except Exception as exc:
+        print(f"bench: LD encode skipped ({exc})", file=sys.stderr)
+
     # secondary: 4K CBR encode (BASELINE.json config #4 single-chip leg)
     try:
         k4 = EncoderConfig(height=2160, width=3840,

@@ -27,6 +27,17 @@ INPUTS = [
     ("tiny422", 64, 32, "4:2:2", 10, 2),
     ("tiny420", 48, 32, "4:2:0", 8, 1),
     ("tiny444", 32, 32, "4:4:4", 12, 1),
+    # full-amplitude checkerboard + saturated edges: drives coefficients
+    # past int16 (exercising the decoder's int32 re-decode fallback) and up
+    # to the widest in-spec exp-Golomb codes (32 bits). NOTE: magnitudes
+    # >= 65535 (codes > 32 bits) are deliberately NOT covered by a golden —
+    # the reference's own VLC encoder overflows its 32-bit code word there
+    # (unsigned int bits, /root/reference/src/Library/src/VLC.cpp:21-52,
+    # shift UB) and corrupts its output, so no byte-exact conformance
+    # fixture can exist; our device packer's FLAG_CODE_OVERFLOW host
+    # fallback (which emits the spec-correct long codes) is covered by
+    # tests/test_device_pack.py instead.
+    ("extreme444", 32, 32, "4:4:4", 12, 1),
 ]
 
 # (case name, input, extra encoder args)
@@ -66,6 +77,14 @@ CASES = [
     ("cbr_interlaced", "tiny422", ["-m", "HQ_CBR", "-k", "DD137", "-d", "2",
                                    "-u", "1", "-a", "2", "-S", "1",
                                    "-s", "3072", "-i"]),
+    ("constq_haar0_d2", "tiny422", ["-m", "HQ_ConstQ", "-k", "Haar0", "-d", "2",
+                                    "-u", "1", "-a", "2", "-q", "12"]),
+    ("constq_legall_d4", "tiny422", ["-m", "HQ_ConstQ", "-k", "LeGall", "-d", "4",
+                                     "-u", "1", "-a", "2", "-q", "16",
+                                     "-S", "4"]),
+    ("constq_extreme_fidelity", "extreme444",
+     ["-m", "HQ_ConstQ", "-k", "Fidelity", "-d", "2", "-u", "2", "-a", "2",
+      "-q", "0", "-S", "8"]),
 ]
 
 TAP_CASES = [
@@ -73,7 +92,9 @@ TAP_CASES = [
     ("constq_legall_d2", "Quantised"),
     ("constq_legall_d2", "Indices"),
     ("constq_legall_d2", "Packaged"),
+    ("constq_legall_d2", "PSNR"),
     ("cbr_legall_d2", "Indices"),
+    ("cbr_legall_d2", "PSNR"),
     ("ld_legall_d2", "Quantised"),
 ]
 
@@ -97,9 +118,19 @@ def make_input(name, w, h, fmt, depth, frames):
         for _ in range(frames):
             for (hh, ww) in ((h, w), (ch, cw), (ch, cw)):
                 yy, xx = np.mgrid[0:hh, 0:ww]
-                base = ((1 << (depth - 1))
-                        + (0.4 * (1 << depth)) * np.sin(yy / 7.0) * np.cos(xx / 9.0))
-                v = base.astype(np.int64) + rng.integers(-20, 20, (hh, ww))
+                if name.startswith("extreme"):
+                    # pixel-rate checkerboard at full amplitude with
+                    # saturated flat quadrants: maximal high-band energy
+                    v = np.where((yy + xx) % 2 == 0, (1 << depth) - 1, 0)
+                    v = np.where((yy < hh // 4) & (xx < ww // 4),
+                                 (1 << depth) - 1, v)
+                    v = np.where((yy >= 3 * hh // 4) & (xx >= 3 * ww // 4),
+                                 0, v).astype(np.int64)
+                else:
+                    base = ((1 << (depth - 1))
+                            + (0.4 * (1 << depth)) * np.sin(yy / 7.0)
+                            * np.cos(xx / 9.0))
+                    v = base.astype(np.int64) + rng.integers(-20, 20, (hh, ww))
                 v = np.clip(v, 0, (1 << depth) - 1).astype(np.uint16) << shift
                 f.write(v.astype(">u2").tobytes())
     return path

@@ -76,6 +76,22 @@ def test_encoder_tap_outputs(case, tap, tmp_path):
     assert open(out, "rb").read() == ref
 
 
+def test_ld_encode_host_route_byte_identical(tmp_path, monkeypatch):
+    """The LD encoder's host-route analysis transform (native forward DWT)
+    must produce the same stream bytes as the reference binary."""
+    from vc2tpu.pipeline import host_synth
+
+    if not host_synth.available():
+        pytest.skip("native host codec unavailable")
+    monkeypatch.setenv("VC2TPU_ENCODE_ROUTE", "host")
+    case, inp, extra = next(c for c in CASES if c[0] == "ld_legall_d2")
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "out.vc2")
+    _run_encode(_encode_args(case, inp, extra), src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    assert open(out, "rb").read() == ref
+
+
 def test_encoder_psnr_self_check(tmp_path):
     """DECODED tap: in-process decode of our own encode round-trips through
     the same clip/interleave path the reference uses (EncodeStream.cpp:649-767)."""

@@ -76,6 +76,30 @@ def test_high_magnitude_lanes_exact():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("kernel", list(WaveletKernel))
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_forward_dwt_exact(kernel, depth):
+    """Native forward engine == lifting.forward_plane, every kernel/depth."""
+    rng = np.random.default_rng(hash((kernel.name, depth, "f")) % 2**32)
+    plane = rng.integers(-512, 512, (32, 48)).astype(np.int32)
+    want = np.asarray(lifting.forward_plane(jnp.asarray(plane), kernel, depth))
+    got = host_synth.dwt_plane_host(plane, kernel, depth)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_forward_inverse_roundtrip_native():
+    rng = np.random.default_rng(2)
+    plane = rng.integers(-512, 512, (64, 64)).astype(np.int32)
+    for kernel in (WaveletKernel.LeGall, WaveletKernel.Fidelity):
+        t = host_synth.dwt_plane_host(plane, kernel, 2)
+        meta, taps, shift = host_synth._inverted_ladder(kernel)
+        p = t.copy()
+        from vc2tpu._native.bridge import native
+
+        native.idwt_plane(p, 2, meta, taps, shift)
+        np.testing.assert_array_equal(p, plane)
+
+
 @pytest.mark.parametrize("bitdepth", [8, 10, 12])
 def test_formatted_output_matches_device_words(bitdepth):
     """Full synthesise_to_words_host vs the planar formatting rules: clip,

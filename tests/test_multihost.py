@@ -1,0 +1,123 @@
+"""Multi-host validation on the multiprocess CPU backend (SURVEY §4:
+"multi-host simulated with multiprocess CPU mesh").
+
+Spawns N real OS processes, each owning 4 virtual CPU devices, connected by
+jax.distributed over a localhost coordinator. The global (data=N, space=4)
+mesh runs the full sharded encode step (halo DWT + sharded RDO + quantise +
+per-shard entropy pack); process 0 assembles the stream. The stream must be
+byte-identical to the single-chip encoder's.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+
+
+@pytest.mark.slow
+def test_two_process_encode_byte_identical(tmp_path):
+    out = str(tmp_path / "mh.vc2")
+    n = 2
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)        # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    for pid in range(n):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+             "localhost:12421", str(n), str(pid), out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    fail = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+            fail.append("timeout")
+        if p.returncode != 0:
+            fail.append(stdout.decode(errors="replace")[-2000:])
+    assert not fail, f"worker failures: {fail}"
+
+    # single-chip reference stream over the same deterministic batch
+    import io
+
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, Profile, WaveletKernel)
+    from vc2tpu.core.picture import Picture
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    H, W = 64, 64
+    cfg = EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                        y_size=1, x_size=2, mode=Mode.HQ_CBR,
+                        luma_depth=10, chroma_depth=10,
+                        frame_rate=FrameRate.FR25,
+                        compressed_bytes=H * W // 2, slice_scalar=1)
+    rng = np.random.default_rng(7)
+    frames = [
+        Picture(rng.integers(-512, 512, (H, W)).astype(np.int32),
+                rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                cfg.chroma_format) for _ in range(n)]
+    enc = Encoder(cfg)
+    encoded = [enc.encode_picture(p) for p in frames]
+    buf = io.BytesIO()
+    wtr = StreamWriter(buf)
+    wtr.start_sequence()
+    wtr.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=False,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    for i, e in enumerate(encoded):
+        wtr.write_picture(i, PicturePreamble(
+            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+            slices_x=enc.geo.x_slices, slices_y=enc.geo.y_slices,
+            slice_prefix=cfg.slice_prefix,
+            slice_size_scalar=cfg.slice_scalar),
+            e.payload, hq=True, slice_sizes=e.slice_totals)
+    wtr.end_sequence()
+    assert open(out, "rb").read() == buf.getvalue()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("VC2TPU_SLOW"),
+                    reason="8K sharded step is minutes on one CPU core; "
+                           "set VC2TPU_SLOW=1")
+def test_8k_sharded_encode_step(tmp_path):
+    """BASELINE.json config #5: the 8K CBR sharded encode step runs on an
+    8-way mesh and its stream bytes equal the single-chip encoder's."""
+    import jax
+
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, WaveletKernel)
+    from vc2tpu.core.picture import Picture
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.pipeline.sharded import ShardedEncoder
+    from vc2tpu.shard.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    H, W = 4320, 7680
+    cfg = EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                        y_size=1, x_size=2, mode=Mode.HQ_CBR,
+                        luma_depth=10, chroma_depth=10,
+                        frame_rate=FrameRate.FR50,
+                        compressed_bytes=16 * 829440, slice_scalar=2)
+    rng = np.random.default_rng(1)
+    pic = Picture(rng.integers(-512, 512, (H, W)).astype(np.int32),
+                  rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                  rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                  cfg.chroma_format)
+    mesh = make_mesh(data=1, space=8)
+    got = ShardedEncoder(cfg, mesh).encode_batch([pic])[0]
+    want = Encoder(cfg).encode_picture(pic)
+    np.testing.assert_array_equal(got.q_indices, want.q_indices)
+    assert got.payload == want.payload

@@ -77,6 +77,66 @@ def test_truncated_final_slice_is_rejected():
         scan_hq_slice_offsets(payload, 1, 0, 2, 0)
 
 
+def test_streaming_input_bit_exact_and_bounded():
+    """run_stream over a chunked file object produces the same bytes as the
+    in-memory path, with the window bounded by one data unit (+ a chunk)."""
+    import itertools
+
+    stream = (GOLDEN / "cbr_legall_d2.vc2").read_bytes()
+    ref_sink = io.BytesIO()
+    dec = Decoder(sink=ref_sink)
+    assert dec.run(stream) == 0
+
+    class TrickleReader:
+        """Feeds the stream in tiny chunks to stress window management."""
+
+        def __init__(self, data, sizes):
+            self.data = data
+            self.pos = 0
+            self.sizes = sizes
+
+        def read(self, n):
+            k = min(next(self.sizes), n, len(self.data) - self.pos)
+            out = self.data[self.pos:self.pos + k]
+            self.pos += k
+            return out
+
+    sink = io.BytesIO()
+    dec2 = Decoder(sink=sink)
+    trickle = TrickleReader(stream, itertools.cycle([7, 64, 1, 4096, 13]))
+    assert dec2.run_stream(trickle, chunk_bytes=256) == 0
+    assert sink.getvalue() == ref_sink.getvalue()
+    assert dec2.frames_out == dec.frames_out
+
+    # memory bound: a long stream (the two-picture sequence repeated 50x)
+    # must never buffer more than ~one data unit + one chunk
+    long_stream = stream[:-13] * 50 + stream[-13:]
+    sink3 = io.BytesIO()
+    dec3 = Decoder(sink=sink3)
+    assert dec3.run_stream(io.BytesIO(long_stream), chunk_bytes=4096) == 0
+    assert dec3.frames_out == 50 * dec.frames_out
+    assert sink3.getvalue() == ref_sink.getvalue() * 50
+    biggest_unit = max(
+        int.from_bytes(stream[i + 5:i + 9], "big")
+        for i in range(len(stream))
+        if stream[i:i + 4] == b"BBCD")
+    assert dec3.max_window <= biggest_unit + 3 * 4096
+
+
+def test_streaming_resync_matches_inmemory():
+    stream = bytearray((GOLDEN / "constq_legall_d2.vc2").read_bytes())
+    pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xE8]
+    stream[pics[-1] + 13 + 1990] = 0xFF     # corrupt second picture
+    corrupted = b"\x00garbage\xff" * 3 + bytes(stream)
+    a, b = io.BytesIO(), io.BytesIO()
+    d1 = Decoder(sink=a)
+    assert d1.run(corrupted) == 0
+    d2 = Decoder(sink=b)
+    assert d2.run_stream(io.BytesIO(corrupted), chunk_bytes=512) == 0
+    assert a.getvalue() == b.getvalue()
+    assert d1.frames_out == d2.frames_out
+
+
 def test_random_garbage_never_crashes():
     import numpy as np
 

@@ -50,51 +50,131 @@ def test_sharded_roundtrip_with_data_axis():
     np.testing.assert_array_equal(r, x)
 
 
-def test_sharded_encode_step_matches_single_device():
-    """Full band-form sharded encode step == single-device pipeline
-    (the same check the driver's dryrun_multichip performs)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+def _cbr_cfg(H, W, depth=2, scalar=1):
     from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
                                     Mode)
+
+    return EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
+                         kernel=WaveletKernel.LeGall, wavelet_depth=depth,
+                         y_size=1, x_size=2, mode=Mode.HQ_CBR,
+                         luma_depth=10, chroma_depth=10,
+                         frame_rate=FrameRate.FR25,
+                         compressed_bytes=H * W // 2, slice_scalar=scalar)
+
+
+def _frames(B, H, W, seed=3):
+    from vc2tpu.core.config import ColourFormat
     from vc2tpu.core.picture import Picture
+
+    rng = np.random.default_rng(seed)
+    return [Picture(rng.integers(-512, 512, (H, W)).astype(np.int32),
+                    rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                    rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
+                    ColourFormat.CF422) for _ in range(B)]
+
+
+def test_sharded_encode_to_bytes_matches_single_chip():
+    """The full multi-chip encode step — halo DWT + sharded RDO + quantise +
+    per-shard on-device entropy pack — must produce payload bytes, slice
+    totals and q indices identical to the single-chip Encoder, and the
+    assembled stream (whole picture AND fragmented) must be byte-identical."""
+    import io
+
+    from vc2tpu.core.config import Profile
     from vc2tpu.pipeline.encoder import Encoder
-    from vc2tpu.pipeline.sharded import (make_sharded_decode_step,
-                                         make_sharded_encode_step)
-    from vc2tpu.slices.layout import slice_bytes_map
+    from vc2tpu.pipeline.sharded import ShardedEncoder
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
 
     mesh = make_mesh(data=2, space=4)
-    H, W, depth = 64, 64, 2
-    cfg = EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
-                        kernel=WaveletKernel.LeGall, wavelet_depth=depth,
-                        y_size=1, x_size=2, mode=Mode.HQ_CBR,
-                        luma_depth=10, chroma_depth=10,
-                        frame_rate=FrameRate.FR25,
-                        compressed_bytes=H * W // 2, slice_scalar=1)
-    step, plane_spec, geo = make_sharded_encode_step(cfg, mesh, batch=2)
-    budgets = slice_bytes_map(geo.y_slices, geo.x_slices,
-                              cfg.compressed_bytes, 1).ravel()
-    rng = np.random.default_rng(3)
-    B = 2
-    y = jax.device_put(rng.integers(-512, 512, (B, H, W)).astype(np.int32),
-                       plane_spec)
-    c1 = jax.device_put(rng.integers(-512, 512, (B, H, W // 2)).astype(np.int32),
-                        plane_spec)
-    c2 = jax.device_put(rng.integers(-512, 512, (B, H, W // 2)).astype(np.int32),
-                        plane_spec)
-    from jax import numpy as jnp
-
-    bud = jax.device_put(jnp.tile(jnp.asarray(budgets)[None, :], (B, 1)),
-                         NamedSharding(mesh, P("data", "space")))
-    q_idx, qy, qu, qv = step(y, c1, c2, bud)
+    H, W = 64, 64
+    cfg = _cbr_cfg(H, W)
+    pics = _frames(2, H, W)
+    senc = ShardedEncoder(cfg, mesh)
+    got = senc.encode_batch(pics)
 
     enc = Encoder(cfg)
-    for b in range(B):
-        ref = enc.encode_picture(Picture(np.asarray(y)[b], np.asarray(c1)[b],
-                                         np.asarray(c2)[b], cfg.chroma_format))
-        np.testing.assert_array_equal(np.asarray(q_idx)[b],
-                                      ref.q_indices.ravel())
+    want = [enc.encode_picture(p) for p in pics]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.q_indices, w.q_indices)
+        np.testing.assert_array_equal(g.slice_totals, w.slice_totals)
+        assert g.payload == w.payload
 
-    dec = make_sharded_decode_step(cfg.kernel, depth, geo, mesh)
-    ry, rc1, rc2 = dec(q_idx, qy, qu, qv)
-    assert np.asarray(ry).shape == (B, H, W)
+    def stream_bytes(encoded, fragment_length=0):
+        buf = io.BytesIO()
+        wtr = StreamWriter(buf)
+        wtr.fragment_length = fragment_length
+        wtr.start_sequence()
+        wtr.write_sequence_header(SequenceHeader(
+            profile=Profile.PROFILE_HQ, height=H, width=W,
+            chroma_format=cfg.chroma_format, interlace=False,
+            frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+        for i, e in enumerate(encoded):
+            wtr.write_picture(i, PicturePreamble(
+                wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+                slices_x=senc.geo.x_slices, slices_y=senc.geo.y_slices,
+                slice_prefix=cfg.slice_prefix,
+                slice_size_scalar=cfg.slice_scalar),
+                e.payload, hq=True, slice_sizes=e.slice_totals)
+        wtr.end_sequence()
+        return buf.getvalue()
+
+    assert stream_bytes(got) == stream_bytes(want)
+    assert stream_bytes(got, 512) == stream_bytes(want, 512)
+
+
+def test_sharded_vbr_encode_to_bytes_matches_single_chip():
+    """ConstQ (VBR, self-sized slices) through the sharded pack — exercises
+    the adaptive capacity bucket instead of the exact CBR budget."""
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode)
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.pipeline.sharded import ShardedEncoder
+
+    mesh = make_mesh(data=1, space=8)
+    H, W = 64, 64
+    cfg = EncoderConfig(height=H, width=W, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.DD97, wavelet_depth=2,
+                        y_size=1, x_size=2, mode=Mode.HQ_ConstQ,
+                        luma_depth=10, chroma_depth=10,
+                        frame_rate=FrameRate.FR25, q_index=24)
+    pics = _frames(1, H, W, seed=9)
+    got = ShardedEncoder(cfg, mesh).encode_batch(pics)
+    want = Encoder(cfg).encode_picture(pics[0])
+    np.testing.assert_array_equal(got[0].q_indices, want.q_indices)
+    assert got[0].payload == want.payload
+
+
+def test_sharded_stream_decode_bit_exact():
+    """8-way sharded decode of an encoded payload == the single-device
+    synthesis, exactly (value-verified, not shape-verified)."""
+    from vc2tpu.core.config import PictureGeometry
+    from vc2tpu.pipeline.decoder import synthesise_lanes
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.pipeline.sharded import ShardedDecoder
+    from vc2tpu.slices.hq import decode_hq_slices
+
+    mesh = make_mesh(data=1, space=8)
+    H, W = 64, 64
+    cfg = _cbr_cfg(H, W)
+    pic = _frames(1, H, W, seed=5)[0]
+    enc = Encoder(cfg)
+    e = enc.encode_picture(pic)
+    payload = np.frombuffer(e.payload, np.uint8)
+
+    sdec = ShardedDecoder(cfg.kernel, cfg.wavelet_depth, enc.geo, mesh)
+    y, c1, c2 = sdec.decode_payload(payload, cfg.slice_prefix,
+                                    cfg.slice_scalar)
+
+    geo = enc.geo
+    Ly = geo.luma_slice[0] * geo.luma_slice[1]
+    Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+    data = decode_hq_slices(payload, geo.n_slices, cfg.slice_prefix,
+                            cfg.slice_scalar, (Ly, Lc, Lc))
+    ref = synthesise_lanes(*data.lanes, data.q_indices,
+                           enc.qmatrix, cfg.kernel, cfg.wavelet_depth, geo,
+                           PictureGeometry.of(H, W, cfg.chroma_format),
+                           cfg.chroma_format)
+    np.testing.assert_array_equal(y[:H, :W], np.asarray(ref.y))
+    np.testing.assert_array_equal(c1[:H, :W // 2], np.asarray(ref.c1))
+    np.testing.assert_array_equal(c2[:H, :W // 2], np.asarray(ref.c2))

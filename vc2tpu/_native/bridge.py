@@ -90,6 +90,12 @@ class _Native:
         p16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
         pu8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.idwt_plane.argtypes = [p32, i64, i64, i64, p32, p32, i64, i64]
+        lib.dwt_plane.argtypes = [p32, i64, i64, i64, p32, p32, i64, i64]
+        p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.ld_pack.argtypes = [p32, p32, p32, p32, i64, i64, i64, p64,
+                                np.ctypeslib.ndpointer(
+                                    np.uint8, flags="C_CONTIGUOUS")]
+        lib.ld_pack.restype = ctypes.c_int
         lib.hq_dequant_scatter.argtypes = [p16, i64, i64, p32, p32, p32,
                                            i64, i64, i64, i64, p32]
         lib.clip_format_out.argtypes = [p32, i64, i64, i64, i64, pu8]
@@ -166,6 +172,21 @@ class _Native:
         H, W = plane.shape
         self._lib.idwt_plane(plane, H, W, int(depth), meta, taps,
                              meta.size // 5, int(shift))
+
+    def dwt_plane(self, plane, depth, meta, taps, shift):
+        H, W = plane.shape
+        self._lib.dwt_plane(plane, H, W, int(depth), meta, taps,
+                            meta.size // 5, int(shift))
+
+    def ld_pack(self, q_idx, ly, lu, lv, sizes, out):
+        n, Ly = ly.shape
+        Lc = lu.shape[1]
+        return self._lib.ld_pack(
+            np.ascontiguousarray(q_idx, np.int32),
+            np.ascontiguousarray(ly, np.int32),
+            np.ascontiguousarray(lu, np.int32),
+            np.ascontiguousarray(lv, np.int32),
+            n, Ly, Lc, np.ascontiguousarray(sizes, np.int64), out)
 
     def hq_dequant_scatter(self, lanes, q_idx, qm_lane, off_plane,
                            xs, sh, sw, plane):

@@ -503,57 +503,79 @@ static inline int svlc_bits(int32_t v) {
 
 namespace {
 
-// Per-plane LD slice quantiser state machine, the analogue of
-// SliceQuantiserRef (reference EncodeStream.cpp:141-192). Walks slices in
-// raster order; quantise_slice(q) trial-quantises the current slice with
-// LL DC prediction against the running reconstructed-LL plane.
-struct LDPlaneQuantiser {
-  const int32_t* coeffs;
-  int H, W, ySlices, xSlices, sliceH, sliceW, ts, llw;
-  const int32_t* qm_block;  // per-position quant matrix value, slice block row-major
-  int32_t* decodedLL;       // (H/ts) x (W/ts)
-  int32_t* qslice;          // sliceH x sliceW scratch
+// LD slice quantiser in serialisation (perm) order: LL lanes first (the
+// DC-prediction recurrence against the running reconstructed-LL plane,
+// reference Quantisation.cpp:191-234), higher subbands after them in one
+// tight independent loop. Trials are bits-only; the final requantise with
+// the chosen q stores the plane and leaves the LL state exactly as the
+// reference's quantise_transform (EncodeStream.cpp:141-245). Working in
+// lane order makes the trailing-zero truncation rule (Slices.cpp:97-113)
+// a running count instead of a second perm-order pass, and hoists the
+// "is this an LL position" test out of the hot loop.
+struct LDLaneQuantiser {
+  const int32_t* plane;
+  int H, W, ySlices, xSlices, sliceH, sliceW, ts, llw, L, nLL;
+  int32_t* qm_lane;    // per-lane quant-matrix value (perm order)
+  int32_t* off_block;  // per-lane plane offset within the slice block
+  int32_t* lly; int32_t* llx;  // per-LL-lane local LL coords
+  int32_t* vals;       // gathered lane values of the current slice
+  int32_t* decodedLL;
   int v, h;
 
-  void init(const int32_t* c, int H_, int W_, int ys, int xs,
-            const int32_t* qm, int ts_, int32_t* dll, int32_t* qs) {
-    coeffs = c; H = H_; W = W_; ySlices = ys; xSlices = xs;
-    sliceH = H / ys; sliceW = W / xs; ts = ts_; llw = W / ts_;
-    qm_block = qm; decodedLL = dll; qslice = qs; v = 0; h = 0;
+  static int scratch_ints(int L_, int sliceH_, int sliceW_, int ts_) {
+    return 3 * L_ + 2 * (sliceH_ / ts_) * (sliceW_ / ts_);
   }
 
-  void quantise_slice(int qIndex) {
-    for (int y = 0, yPos = v * sliceH; y < sliceH; ++y, ++yPos) {
-      for (int x = 0, xPos = h * sliceW; x < sliceW; ++x, ++xPos) {
-        const int aq = adjust_q(qIndex, qm_block[y * sliceW + x]);
-        if ((y % ts) == 0 && (x % ts) == 0) {  // LL subband
-          const int yLL = yPos / ts, xLL = xPos / ts;
-          const int pred = predict_dc(decodedLL, llw, yLL, xLL);
-          const int qv = c_quant(coeffs[yPos * W + xPos] - pred, aq);
-          qslice[y * sliceW + x] = qv;
-          decodedLL[yLL * llw + xLL] = c_scale(qv, aq) + pred;
-        } else {
-          qslice[y * sliceW + x] = c_quant(coeffs[yPos * W + xPos], aq);
-        }
+  void init(const int32_t* p, int H_, int W_, int ys, int xs, int ts_,
+            const int32_t* qm_block, const int32_t* perm, int L_,
+            int32_t* dll, int32_t* scratch) {
+    plane = p; H = H_; W = W_; ySlices = ys; xSlices = xs; ts = ts_;
+    sliceH = H / ys; sliceW = W / xs; llw = W / ts_; L = L_;
+    nLL = (sliceH / ts_) * (sliceW / ts_);
+    qm_lane = scratch; off_block = scratch + L; vals = scratch + 2 * L;
+    lly = scratch + 3 * L; llx = lly + nLL;
+    decodedLL = dll; v = 0; h = 0;
+    for (int k = 0; k < L; ++k) {
+      const int by = perm[k] / sliceW, bx = perm[k] % sliceW;
+      qm_lane[k] = qm_block[perm[k]];
+      off_block[k] = by * W + bx;
+      if (k < nLL) { lly[k] = by / ts; llx[k] = bx / ts; }
+    }
+  }
+
+  void load_slice() {
+    const int32_t* base = plane + v * sliceH * W + h * sliceW;
+    for (int k = 0; k < L; ++k) vals[k] = base[off_block[k]];
+  }
+
+  // Trial-quantise the current slice. Fills nb[k] (code bit lengths) and,
+  // when out != nullptr, stores the quantised lanes (serialisation order,
+  // the slice's row of an (N, L) lane array). Always updates the LL
+  // recurrence state.
+  void trial(int qIndex, int32_t* out, uint8_t* nb) {
+    const int y0 = v * (sliceH / ts), x0 = h * (sliceW / ts);
+    for (int k = 0; k < nLL; ++k) {
+      const int aq = adjust_q(qIndex, qm_lane[k]);
+      const int yLL = y0 + lly[k], xLL = x0 + llx[k];
+      const int pred = predict_dc(decodedLL, llw, yLL, xLL);
+      const int qv = c_quant(vals[k] - pred, aq);
+      decodedLL[yLL * llw + xLL] = c_scale(qv, aq) + pred;
+      if (out) out[k] = qv;
+      nb[k] = static_cast<uint8_t>(svlc_bits(qv));
+    }
+    if (out) {
+      for (int k = nLL; k < L; ++k) {
+        const int aq = adjust_q(qIndex, qm_lane[k]);
+        const int qv = c_quant(vals[k], aq);
+        out[k] = qv;
+        nb[k] = static_cast<uint8_t>(svlc_bits(qv));
+      }
+    } else {
+      for (int k = nLL; k < L; ++k) {
+        const int aq = adjust_q(qIndex, qm_lane[k]);
+        nb[k] = static_cast<uint8_t>(svlc_bits(c_quant(vals[k], aq)));
       }
     }
-  }
-
-  // luma_slice_bits-style count over qslice in subband (perm) order
-  int slice_bits(const int32_t* perm, int L) const {
-    int gross = 0, count = 0;
-    for (int k = 0; k < L; ++k) {
-      const int nb = svlc_bits(qslice[perm[k]]);
-      gross += nb;
-      if (nb > 1) count = gross;
-    }
-    return count;
-  }
-
-  void store(int32_t* out) const {  // write final qslice into the out plane
-    for (int y = 0, yPos = v * sliceH; y < sliceH; ++y, ++yPos)
-      std::memcpy(out + yPos * W + h * sliceW, qslice + y * sliceW,
-                  sliceW * sizeof(int32_t));
   }
 
   bool next_slice() {
@@ -562,6 +584,30 @@ struct LDPlaneQuantiser {
     return false;
   }
 };
+
+// truncated bit count (Slices.cpp:97-113): gross bits up to the last lane
+// with a >1-bit (i.e. non-zero-valued) code
+static inline int count_bits_1(const uint8_t* nb, int L) {
+  int gross = 0, count = 0;
+  for (int k = 0; k < L; ++k) {
+    gross += nb[k];
+    if (nb[k] > 1) count = gross;
+  }
+  return count;
+}
+
+// chroma variant: u and v codes interleave per coefficient (Slices.cpp:71-95)
+static inline int count_bits_2(const uint8_t* nbu, const uint8_t* nbv,
+                               int L) {
+  int gross = 0, count = 0;
+  for (int k = 0; k < L; ++k) {
+    gross += nbu[k];
+    if (nbu[k] > 1) count = gross;
+    gross += nbv[k];
+    if (nbv[k] > 1) count = gross;
+  }
+  return count;
+}
 
 static int intlog2_c(int value) {  // Utils.cpp:40-48
   int log = 0;
@@ -576,8 +622,7 @@ static int intlog2_c(int value) {  // Utils.cpp:40-48
 // each slice, with the chosen q, leaves the DC-prediction state exactly as
 // quantise_transform would — reference EncodeStream.cpp:195-245).
 // band-of-position maps are slice-block row-major quant-matrix values.
-// Returns 0 on success, 1 if uv bits would not fit any q (cannot happen for
-// q=127 in practice, mirrors the reference's unchecked assumption).
+// Returns 0 on success.
 EXPORT int ld_encode(const int32_t* yp, const int32_t* up, const int32_t* vp,
                      int64_t H, int64_t W, int64_t CH, int64_t CW,
                      int64_t ySlices, int64_t xSlices, int64_t ts,
@@ -587,42 +632,38 @@ EXPORT int ld_encode(const int32_t* yp, const int32_t* up, const int32_t* vp,
                      const int32_t* perm_c, int64_t Lc,
                      const int32_t* slice_bytes,  // N
                      int32_t* q_out,              // N
-                     int32_t* qy_out, int32_t* qu_out, int32_t* qv_out) {
+                     int32_t* qy_out,             // (N, Ly) lanes, perm order
+                     int32_t* qu_out, int32_t* qv_out) {  // (N, Lc) each
   const int64_t N = ySlices * xSlices;
   int32_t* dll_y = new int32_t[(H / ts) * (W / ts)]();
   int32_t* dll_u = new int32_t[(CH / ts) * (CW / ts)]();
   int32_t* dll_v = new int32_t[(CH / ts) * (CW / ts)]();
-  int32_t* qs_y = new int32_t[(H / ySlices) * (W / xSlices)];
-  int32_t* qs_u = new int32_t[(CH / ySlices) * (CW / xSlices)];
-  int32_t* qs_v = new int32_t[(CH / ySlices) * (CW / xSlices)];
-  LDPlaneQuantiser qy, qu, qv;
-  qy.init(yp, H, W, ySlices, xSlices, qm_block_y, ts, dll_y, qs_y);
-  qu.init(up, CH, CW, ySlices, xSlices, qm_block_c, ts, dll_u, qs_u);
-  qv.init(vp, CH, CW, ySlices, xSlices, qm_block_c, ts, dll_v, qs_v);
+  const int sy_h = H / ySlices, sy_w = W / xSlices;
+  const int sc_h = CH / ySlices, sc_w = CW / xSlices;
+  int32_t* scr_y = new int32_t[LDLaneQuantiser::scratch_ints(Ly, sy_h, sy_w, ts)];
+  int32_t* scr_u = new int32_t[LDLaneQuantiser::scratch_ints(Lc, sc_h, sc_w, ts)];
+  int32_t* scr_v = new int32_t[LDLaneQuantiser::scratch_ints(Lc, sc_h, sc_w, ts)];
+  uint8_t* nb_y = new uint8_t[Ly];
+  uint8_t* nb_u = new uint8_t[Lc];
+  uint8_t* nb_v = new uint8_t[Lc];
+  LDLaneQuantiser qy, qu, qv;
+  qy.init(yp, H, W, ySlices, xSlices, ts, qm_block_y, perm_y, Ly, dll_y, scr_y);
+  qu.init(up, CH, CW, ySlices, xSlices, ts, qm_block_c, perm_c, Lc, dll_u, scr_u);
+  qv.init(vp, CH, CW, ySlices, xSlices, ts, qm_block_c, perm_c, Lc, dll_v, scr_v);
   for (int64_t i = 0; i < N; ++i) {
+    qy.load_slice();
+    qu.load_slice();
+    qv.load_slice();
     const int bytes = slice_bytes[i];
     const int length_bits = intlog2_c(8 * bytes - 7);
     const int bits_available = 8 * bytes - 7 - length_bits;
     int trialQ = 63, q = 127, delta = 64;
     while (delta > 0) {
       delta >>= 1;
-      qy.quantise_slice(trialQ);
-      qu.quantise_slice(trialQ);
-      qv.quantise_slice(trialQ);
-      int bits = qy.slice_bits(perm_y, Ly);
-      // chroma bits: u and v interleaved per coefficient (Slices.cpp:71-95)
-      {
-        int gross = 0, count = 0;
-        for (int64_t k = 0; k < Lc; ++k) {
-          int nb = svlc_bits(qs_u[perm_c[k]]);
-          gross += nb;
-          if (nb > 1) count = gross;
-          nb = svlc_bits(qs_v[perm_c[k]]);
-          gross += nb;
-          if (nb > 1) count = gross;
-        }
-        bits += count;
-      }
+      qy.trial(trialQ, nullptr, nb_y);
+      qu.trial(trialQ, nullptr, nb_u);
+      qv.trial(trialQ, nullptr, nb_v);
+      const int bits = count_bits_1(nb_y, Ly) + count_bits_2(nb_u, nb_v, Lc);
       if (bits <= bits_available) {
         if (trialQ < q) q = trialQ;
         trialQ -= delta;
@@ -630,19 +671,17 @@ EXPORT int ld_encode(const int32_t* yp, const int32_t* up, const int32_t* vp,
         trialQ += delta;
       }
     }
-    qy.quantise_slice(q);
-    qu.quantise_slice(q);
-    qv.quantise_slice(q);
+    qy.trial(q, qy_out + i * Ly, nb_y);
+    qu.trial(q, qu_out + i * Lc, nb_u);
+    qv.trial(q, qv_out + i * Lc, nb_v);
     q_out[i] = q;
-    qy.store(qy_out);
-    qu.store(qu_out);
-    qv.store(qv_out);
     qy.next_slice();
     qu.next_slice();
     qv.next_slice();
   }
   delete[] dll_y; delete[] dll_u; delete[] dll_v;
-  delete[] qs_y; delete[] qs_u; delete[] qs_v;
+  delete[] scr_y; delete[] scr_u; delete[] scr_v;
+  delete[] nb_y; delete[] nb_u; delete[] nb_v;
   return 0;
 }
 
@@ -988,6 +1027,185 @@ EXPORT void clip_format_out(const int32_t* plane, int64_t W,
         const uint16_t u = static_cast<uint16_t>((v + zero) << just);
         *o++ = static_cast<uint16_t>((u << 8) | (u >> 8));
       }
+    }
+  }
+}
+
+// ------------------------------------------------- native LD slice packing
+// Assemble the complete LD payload (reference LDSliceIO, Slices.cpp:195-303)
+// in one pass: per slice a 7-bit qIndex, an intlog2(8*size-7)-bit
+// luma-length field, the bounded luma exp-Golomb region, then the remaining
+// bits as the bounded interleaved-U,V region (zero-filled to the slice end —
+// the output buffer arrives zeroed). Bounded writes drop code tails at the
+// region end exactly as the reference's bounded stream (VLC.cpp:151-155;
+// the dropped bits are the all-1 tails of trailing zero codes).
+
+static inline void put_bits(uint8_t* buf, int64_t& pos, uint64_t code,
+                            int nb) {
+  while (nb > 0) {
+    const int avail = 8 - static_cast<int>(pos & 7);
+    const int take = nb < avail ? nb : avail;
+    const uint8_t bits =
+        static_cast<uint8_t>((code >> (nb - take)) & ((1u << take) - 1));
+    buf[pos >> 3] |= static_cast<uint8_t>(bits << (avail - take));
+    pos += take;
+    nb -= take;
+  }
+}
+
+static inline void put_bits_bounded(uint8_t* buf, int64_t& pos,
+                                    int64_t bound_end, uint64_t code,
+                                    int nb) {
+  if (pos >= bound_end) { pos += nb; return; }
+  if (pos + nb > bound_end) {
+    const int keep = static_cast<int>(bound_end - pos);
+    put_bits(buf, pos, code >> (nb - keep), keep);
+    pos = bound_end;
+    return;
+  }
+  put_bits(buf, pos, code, nb);
+}
+
+static inline uint64_t svlc_code(int32_t v, int* nb) {
+  if (v == 0) { *nb = 1; return 1; }
+  uint32_t u = static_cast<uint32_t>(v < 0 ? -v : v) + 1;
+  const int k = 32 - __builtin_clz(u);
+  uint64_t bits = 0;
+  for (int j = k - 2; j >= 0; --j) {
+    bits <<= 2;
+    if ((u >> j) & 1) bits |= 1;
+  }
+  bits = (bits << 1) | 1;
+  bits = (bits << 1) | (v < 0 ? 1 : 0);
+  *nb = 2 * k;
+  return bits;
+}
+
+// Returns 1 if any slice's interleaved U,V data cannot fit its region
+// ("Too many bytes for the U and V slices"), else 0.
+EXPORT int ld_pack(const int32_t* q_idx, const int32_t* ly,
+                   const int32_t* lu, const int32_t* lv,
+                   int64_t n, int64_t Ly, int64_t Lc,
+                   const int64_t* sizes, uint8_t* out) {
+  int64_t start_bit = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t size = sizes[i];
+    const int64_t total_bits = 8 * size;
+    const int len_bits = intlog2_c(static_cast<int>(total_bits - 7));
+    const int32_t* y = ly + i * Ly;
+    const int32_t* u = lu + i * Lc;
+    const int32_t* v = lv + i * Lc;
+    // truncated luma bit count (Slices.cpp:51-69)
+    int64_t gross = 0, y_bits = 0;
+    for (int64_t k = 0; k < Ly; ++k) {
+      const int nb = svlc_bits(y[k]);
+      gross += nb;
+      if (nb > 1) y_bits = gross;
+    }
+    // truncated interleaved chroma bit count (Slices.cpp:71-95)
+    int64_t uv_need = 0;
+    gross = 0;
+    for (int64_t k = 0; k < Lc; ++k) {
+      int nb = svlc_bits(u[k]);
+      gross += nb;
+      if (nb > 1) uv_need = gross;
+      nb = svlc_bits(v[k]);
+      gross += nb;
+      if (nb > 1) uv_need = gross;
+    }
+    const int64_t uv_bits = total_bits - 7 - len_bits - y_bits;
+    if (uv_need > uv_bits) return 1;
+    int64_t pos = start_bit;
+    put_bits(out, pos, static_cast<uint64_t>(q_idx[i]) & 0x7F, 7);
+    put_bits(out, pos, static_cast<uint64_t>(y_bits), len_bits);
+    int64_t bound = pos + y_bits;
+    for (int64_t k = 0; k < Ly && pos < bound; ++k) {
+      int nb;
+      const uint64_t code = svlc_code(y[k], &nb);
+      put_bits_bounded(out, pos, bound, code, nb);
+    }
+    pos = bound;
+    bound = pos + uv_bits;
+    for (int64_t k = 0; k < Lc && pos < bound; ++k) {
+      int nb;
+      uint64_t code = svlc_code(u[k], &nb);
+      put_bits_bounded(out, pos, bound, code, nb);
+      code = svlc_code(v[k], &nb);
+      put_bits_bounded(out, pos, bound, code, nb);
+    }
+    start_bit += total_bits;
+  }
+  return 0;
+}
+
+// ------------------------------------------------- native forward DWT
+// Forward twin of idwt_plane: per level shift-in, horizontal ladder, then
+// vertical ladder (reference waveletTransform, WaveletTransform.cpp:262-281
+// over the per-kernel forward ladders). ``meta``/``taps`` encode the FORWARD
+// steps verbatim from wavelet.lifting._STEPS. Used by the LD link-failover
+// encode route (the analysis transform runs where the coefficients are
+// consumed when the device link is slower than one core).
+EXPORT void dwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
+                      const int32_t* meta, const int32_t* taps,
+                      int64_t n_steps, int64_t shift_in) {
+  static thread_local int32_t* tmp = nullptr;
+  static thread_local int64_t tmp_cap = 0;
+  if (tmp_cap < W + 16) {
+    delete[] tmp;
+    tmp_cap = W + 16;
+    tmp = new int32_t[tmp_cap];
+  }
+  for (int64_t level = 0; level < depth; ++level) {
+    const int64_t s = int64_t(1) << level;
+    const int64_t hs = H >> level, ws = W >> level;
+    const int64_t row_pitch = s * W;
+    const int64_t ne_c = (ws + 1) / 2, no_c = ws / 2;
+    // horizontal passes (with the accuracy shift folded into the same
+    // deinterleave pass)
+    for (int64_t r = 0; r < hs; ++r) {
+      int32_t* row = plane + r * row_pitch;
+      int32_t* e = tmp;
+      int32_t* o = tmp + ne_c;
+      if (shift_in) {
+        for (int64_t i = 0; i < no_c; ++i) {
+          e[i] = row[2 * i * s] << shift_in;
+          o[i] = row[(2 * i + 1) * s] << shift_in;
+        }
+        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s] << shift_in;
+      } else {
+        for (int64_t i = 0; i < no_c; ++i) {
+          e[i] = row[2 * i * s];
+          o[i] = row[(2 * i + 1) * s];
+        }
+        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s];
+      }
+      const int32_t* tp = taps;
+      for (int64_t st = 0; st < n_steps; ++st) {
+        const int32_t* m = meta + st * 5;
+        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
+        int32_t offs[8], coeffs[8];
+        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
+        tp += 2 * nt;
+        if (t) step_1d(o, e, no_c, ne_c, nt, offs, coeffs, sign, add, sh);
+        else   step_1d(e, o, ne_c, no_c, nt, offs, coeffs, sign, add, sh);
+      }
+      for (int64_t i = 0; i < no_c; ++i) {
+        row[2 * i * s] = e[i];
+        row[(2 * i + 1) * s] = o[i];
+      }
+      if (ws & 1) row[(ws - 1) * s] = e[ne_c - 1];
+    }
+    // vertical passes
+    const int64_t ne_r = (hs + 1) / 2, no_r = hs / 2;
+    const int32_t* tp = taps;
+    for (int64_t st = 0; st < n_steps; ++st) {
+      const int32_t* m = meta + st * 5;
+      const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
+      int32_t offs[8], coeffs[8];
+      for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
+      tp += 2 * nt;
+      step_vert(plane, row_pitch, t, t ? no_r : ne_r, t ? ne_r : no_r,
+                ws, s, nt, offs, coeffs, sign, add, sh);
     }
   }
 }

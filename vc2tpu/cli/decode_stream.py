@@ -72,6 +72,7 @@ class Decoder:
         self.verbose = verbose
         self.sink = sink
         self.hdr = None
+        self._major_version = 0
         self.pic = 0
         self.frame = 0
         self.frags: dict[int, _FragState] = {}
@@ -327,126 +328,231 @@ class Decoder:
     # --- data unit handlers ---
 
     def run(self, data: bytes) -> int:
-        rd = StreamReader(data)
-        if not rd.synchronise():
-            return 0
-        rd.r.seek(rd.r.byte_pos - 4)
+        """Decode a complete in-memory stream (library entry)."""
+        import io
+
+        return self.run_stream(io.BytesIO(data))
+
+    def run_stream(self, fp, chunk_bytes: int = 1 << 20) -> int:
+        """Incremental decode from a binary file object: memory stays
+        O(largest data unit) (a rolling window slides over the input),
+        matching the reference's istream loop
+        (/root/reference/src/DecodeStream/DecodeStream.cpp:205) instead of
+        slurping the stream. Resync, skip-on-corrupt and fragment semantics
+        are identical to the in-memory path."""
+        window = bytearray()
+        eof = False
+        self.max_window = 0           # high-water mark (memory-bound tests)
+
+        def fill(n=None) -> bool:
+            """Grow the window to >= n bytes (or by one chunk). Returns
+            False if EOF prevented reaching the target."""
+            nonlocal eof
+            while not eof and (n is None or len(window) < n):
+                b = fp.read(chunk_bytes if n is None
+                            else max(chunk_bytes, n - len(window)))
+                if not b:
+                    eof = True
+                else:
+                    window.extend(b)
+                    self.max_window = max(self.max_window, len(window))
+                if n is None:
+                    break
+            return n is None or len(window) >= n
+
+        def resync() -> bool:
+            """Drop bytes until the window starts at a parse_info prefix."""
+            nonlocal window
+            while True:
+                i = bytes(window).find(b"BBCD")
+                if i >= 0:
+                    del window[:i]
+                    return True
+                # keep a 3-byte tail (possible partial prefix)
+                if len(window) > 3:
+                    del window[:-3]
+                if eof:
+                    return False
+                fill()
+
+        def consume(n: int):
+            del window[:n]
+
+        first = True
         while True:
-            if rd.eof():
+            fill(13)
+            if len(window) < 13:
+                if not eof:
+                    continue
                 self._flush()
                 self.log("End of data stream reached successfully, exiting.")
                 return 0
+            rd = StreamReader(bytes(window[:13]))
+            rd.major_version = self._major_version
             try:
                 du_type, next_off, _prev = rd.read_data_unit()
             except ValueError as exc:
-                # corrupt parse_info: re-lock onto the next 'BBCD' (the
-                # reference binary exits here; dataunitio::synchronise makes
-                # continuing strictly better)
-                print(f"Bad parse info ({exc}); resynchronising",
-                      file=sys.stderr)
-                if not rd.synchronise():
+                if not first:
+                    # corrupt parse_info: re-lock onto the next 'BBCD' (the
+                    # reference binary exits here; dataunitio::synchronise
+                    # makes continuing strictly better)
+                    print(f"Bad parse info ({exc}); resynchronising",
+                          file=sys.stderr)
+                consume(1)
+                if not resync():
                     self._flush()
                     return 0
-                rd.r.seek(rd.r.byte_pos - 4)
                 continue
+            first = False
             self.log(f"Have read data unit of type: {du_type.value}")
+            # pull the declared unit body into the window (headers are small;
+            # pictures are one data unit — the window's high-water mark)
+            if 13 <= next_off < (1 << 30):
+                fill(next_off)
             if du_type == DataUnitType.SEQUENCE_HEADER:
-                self.hdr = rd.read_sequence_header()
-            elif du_type == DataUnitType.END_OF_SEQUENCE:
-                self.log(f"End of Sequence after {self.frame} frames")
-            elif du_type in (DataUnitType.AUXILIARY_DATA, DataUnitType.PADDING_DATA):
-                if next_off - 13 < 0:
-                    raise ValueError("data length is less than zero.")
-                rd.r.seek(rd.r.byte_pos + next_off - 13)
-            elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
-                hq = du_type == DataUnitType.HQ_PICTURE
-                body_start = rd.r.byte_pos
+                fill(min(max(next_off, 4096), 1 << 20))
+                rd = StreamReader(bytes(window[:len(window)]))
+                rd.r.seek(13)
                 try:
-                    _picnum = rd.read_picture_number()
-                    pre = rd.read_preamble(hq)
-                    if self.hdr is None:
-                        self.log(
-                            "Cannot decode frame, no previous sequence header!")
-                        continue
-                    payload = np.frombuffer(data, dtype=np.uint8)
-                    geo, pic_h, q_idx, ly, lu, lv = \
-                        self._decode_picture_payload(pre, payload, hq,
-                                                     start=rd.r.byte_pos)
-                    # advance the reader over the slice payload
-                    if hq:
-                        from vc2tpu.slices.hq import scan_hq_slice_offsets
-
-                        _, _, _, end = scan_hq_slice_offsets(
-                            payload, geo.n_slices, pre.slice_prefix,
-                            pre.slice_size_scalar, rd.r.byte_pos)
-                    else:
-                        compressed = (pre.slice_bytes_numerator * geo.n_slices
-                                      // pre.slice_bytes_denominator)
-                        pb = (compressed // 2 if self.hdr.interlace
-                              else compressed)
-                        end = rd.r.byte_pos + int(layout.slice_bytes_map(
-                            geo.y_slices, geo.x_slices, pb, 1).sum())
-                    rd.r.seek(end)
-                    self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv,
-                                         hq)
+                    self.hdr = rd.read_sequence_header()
+                    self._major_version = rd.major_version
                 except Exception as exc:
-                    # decode continues past a corrupt picture, skipping to the
-                    # next parse_info (reference DecodeStream.cpp:515-518 plus
-                    # dataunitio::synchronise resync)
-                    print(f"Failed to read {'HQ' if hq else 'LD'} compressed "
-                          f"frame ({exc})", file=sys.stderr)
-                    # drop any buffered first field: a lost second field must
-                    # not pair subsequent fields off-by-one for the rest of
-                    # the sequence
-                    self.pic = 0
-                    self._first_words = None
-                    if next_off >= 13:
-                        rd.r.seek(body_start - 13 + next_off)
-                    elif not rd.synchronise():
+                    print(f"Bad sequence header ({exc}); resynchronising",
+                          file=sys.stderr)
+                    consume(1)
+                    if not resync():
                         self._flush()
                         return 0
-                    else:
-                        rd.r.seek(rd.r.byte_pos - 4)
-            elif du_type in (DataUnitType.HQ_FRAGMENT, DataUnitType.LD_FRAGMENT):
-                hq = du_type == DataUnitType.HQ_FRAGMENT
-                picnum = rd.read_picture_number()
-                frag = rd.read_fragment_header()
-                if frag.n_slices == 0:
-                    pre = rd.read_preamble(hq)
-                    if self.hdr is None:
-                        self.log("Cannot decode frame, no previous sequence header!")
-                        continue
-                    self.frags[picnum] = _FragState(preamble=pre,
-                                                    payload_parts={})
+                    continue
+                consume(rd.r.byte_pos)
+            elif du_type == DataUnitType.END_OF_SEQUENCE:
+                self.log(f"End of Sequence after {self.frame} frames")
+                consume(13)
+            elif du_type in (DataUnitType.AUXILIARY_DATA,
+                             DataUnitType.PADDING_DATA):
+                if next_off - 13 < 0:
+                    raise ValueError("data length is less than zero.")
+                fill(next_off)
+                consume(min(next_off, len(window)))
+            elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
+                hq = du_type == DataUnitType.HQ_PICTURE
+                end = None
+                grow_cap = max(next_off, 0) + (64 << 20)
+                while True:
+                    try:
+                        end = self._handle_picture_window(window, hq)
+                        break
+                    except Exception as exc:
+                        # the slice chain may genuinely extend past a lying
+                        # next_parse_offset: grow the window and retry (up to
+                        # a 64 MB margin) before declaring the picture corrupt
+                        if (not eof and len(window) < grow_cap
+                                and fill(min(len(window) + chunk_bytes,
+                                             grow_cap))):
+                            continue
+                        print(f"Failed to read {'HQ' if hq else 'LD'} "
+                              f"compressed frame ({exc})", file=sys.stderr)
+                        # drop any buffered first field: a lost second field
+                        # must not pair later fields off-by-one
+                        self.pic = 0
+                        self._first_words = None
+                        break
+                if end is not None:
+                    consume(end)
+                elif next_off >= 13:
+                    fill(next_off)
+                    consume(min(next_off, len(window)))
                 else:
-                    body = rd.r.get_raw(frag.data_length)
-                    st = self.frags.get(picnum)
-                    if st is None:
-                        self.log("Cannot decode slices as no picture header yet "
-                                 f"read for picture number {picnum}")
-                        continue
-                    first = (frag.slice_offset_y * st.preamble.slices_x
-                             + frag.slice_offset_x)
-                    st.payload_parts[first] = body
-                    st.slices_decoded += frag.n_slices
-                    needed = st.preamble.slices_x * st.preamble.slices_y
-                    if st.slices_decoded >= needed:
-                        payload = b"".join(p for _, p in
-                                           sorted(st.payload_parts.items()))
-                        arr = np.frombuffer(payload, dtype=np.uint8)
-                        geo, pic_h, q_idx, ly, lu, lv = \
-                            self._decode_picture_payload(st.preamble, arr, hq)
-                        self._finish_picture(st.preamble, geo, pic_h, q_idx,
-                                             ly, lu, lv, hq)
-                        del self.frags[picnum]
+                    consume(1)
+                    if not resync():
+                        self._flush()
+                        return 0
+            elif du_type in (DataUnitType.HQ_FRAGMENT,
+                             DataUnitType.LD_FRAGMENT):
+                hq = du_type == DataUnitType.HQ_FRAGMENT
+                fill(max(next_off, 13 + 4 + 8))
+                rd = StreamReader(bytes(window[:len(window)]))
+                rd.major_version = self._major_version
+                rd.r.seek(13)
+                try:
+                    end = self._handle_fragment(rd, hq)
+                except Exception as exc:
+                    print(f"Failed to read fragment ({exc})", file=sys.stderr)
+                    end = next_off if next_off >= 13 else 13
+                consume(min(end, len(window)))
             else:
-                continue
+                consume(13)
+
+    def _handle_picture_window(self, window, hq: bool) -> int:
+        """Decode one picture data unit sitting at the head of ``window``
+        (13-byte parse_info included). Returns the consumed byte count."""
+        rd = StreamReader(bytes(window))
+        rd.major_version = self._major_version
+        rd.r.seek(13)
+        _picnum = rd.read_picture_number()
+        pre = rd.read_preamble(hq)
+        if self.hdr is None:
+            self.log("Cannot decode frame, no previous sequence header!")
+            return rd.r.byte_pos
+        payload = np.frombuffer(rd.data, dtype=np.uint8)
+        geo, pic_h, q_idx, ly, lu, lv = \
+            self._decode_picture_payload(pre, payload, hq,
+                                         start=rd.r.byte_pos)
+        if hq:
+            from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+            _, _, _, end = scan_hq_slice_offsets(
+                payload, geo.n_slices, pre.slice_prefix,
+                pre.slice_size_scalar, rd.r.byte_pos)
+        else:
+            compressed = (pre.slice_bytes_numerator * geo.n_slices
+                          // pre.slice_bytes_denominator)
+            pb = (compressed // 2 if self.hdr.interlace else compressed)
+            end = rd.r.byte_pos + int(layout.slice_bytes_map(
+                geo.y_slices, geo.x_slices, pb, 1).sum())
+        self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv, hq)
+        return int(end)
+
+    def _handle_fragment(self, rd: StreamReader, hq: bool) -> int:
+        """Fragment data unit at the window head; returns consumed bytes."""
+        picnum = rd.read_picture_number()
+        frag = rd.read_fragment_header()
+        if frag.n_slices == 0:
+            pre = rd.read_preamble(hq)
+            if self.hdr is None:
+                self.log("Cannot decode frame, no previous sequence header!")
+                return rd.r.byte_pos
+            self.frags[picnum] = _FragState(preamble=pre, payload_parts={})
+            return rd.r.byte_pos
+        body = rd.r.get_raw(frag.data_length)
+        if len(body) < frag.data_length:
+            raise ValueError("truncated fragment body")
+        st = self.frags.get(picnum)
+        if st is None:
+            self.log("Cannot decode slices as no picture header yet "
+                     f"read for picture number {picnum}")
+            return rd.r.byte_pos
+        first = (frag.slice_offset_y * st.preamble.slices_x
+                 + frag.slice_offset_x)
+        st.payload_parts[first] = body
+        st.slices_decoded += frag.n_slices
+        needed = st.preamble.slices_x * st.preamble.slices_y
+        if st.slices_decoded >= needed:
+            payload = b"".join(p for _, p in sorted(st.payload_parts.items()))
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            geo, pic_h, q_idx, ly, lu, lv = \
+                self._decode_picture_payload(st.preamble, arr, hq)
+            self._finish_picture(st.preamble, geo, pic_h, q_idx, ly, lu, lv,
+                                 hq)
+            del self.frags[picnum]
+        return rd.r.byte_pos
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    data = (sys.stdin.buffer.read() if args.inFile == "-"
-            else open(args.inFile, "rb").read())
+    # incremental input: memory stays O(one data unit) regardless of stream
+    # length (reference DecodeStream.cpp:205 istream loop)
+    fp = sys.stdin.buffer if args.inFile == "-" else open(args.inFile, "rb")
     sink = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
     dec = Decoder(output=DecOutput(args.output), verbose=args.verbose, sink=sink)
     if args.profile:
@@ -454,7 +560,7 @@ def main(argv=None) -> int:
 
         jax.profiler.start_trace(args.profile)
     try:
-        rc = dec.run(data)
+        rc = dec.run_stream(fp)
     except Exception as exc:
         print(f"Error: {exc}")
         return 1

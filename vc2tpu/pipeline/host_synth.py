@@ -47,6 +47,29 @@ def _inverted_ladder(kernel: WaveletKernel):
 
 
 @functools.lru_cache(maxsize=None)
+def _forward_ladder(kernel: WaveletKernel):
+    """(meta, taps, shift) — the forward steps verbatim from _STEPS."""
+    meta = []
+    taps = []
+    for target, sign, tps, add, sh in _STEPS[kernel]:
+        meta.extend([1 if target == "o" else 0, sign, add, sh, len(tps)])
+        for off, coeff in tps:
+            taps.extend([off, coeff])
+    return (np.asarray(meta, np.int32), np.asarray(taps, np.int32),
+            TRANSFORM_SHIFT[kernel])
+
+
+def dwt_plane_host(plane: np.ndarray, kernel: WaveletKernel,
+                   depth: int) -> np.ndarray:
+    """Forward DWT of an already-padded plane on the native engine, in-place
+    transform layout — host twin of wavelet.lifting.forward_plane."""
+    meta, taps, shift = _forward_ladder(kernel)
+    p = np.array(plane, np.int32, copy=True, order="C")
+    native.dwt_plane(p, depth, meta, taps, shift)
+    return p
+
+
+@functools.lru_cache(maxsize=None)
 def _scatter_tables(slice_h: int, slice_w: int, depth: int, plane_w: int,
                     qm_key: tuple):
     """Per-lane plane offsets (relative to the slice origin) + per-lane

@@ -49,6 +49,7 @@ class LDEncoder:
                               else cfg.compressed_bytes)
         self.slice_budgets = layout.slice_bytes_map(
             self.geo.y_slices, self.geo.x_slices, self.picture_bytes, 1)
+        self._route = None            # analysis-transform route (see _transform)
 
         def dwt_planes(y, c1, c2):
             return tuple(
@@ -74,6 +75,47 @@ class LDEncoder:
                        ) -> EncodedPicture:
         cfg = self.cfg
         geo = self.geo
+        ty, tu, tv = self._transform(picture)
+        H, W = geo.padded_luma
+        CH, CW = geo.padded_chroma
+        n = geo.n_slices
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        q_out = np.zeros(n, dtype=np.int32)
+        lanes_y = np.empty((n, Ly), dtype=np.int32)
+        lanes_u = np.empty((n, Lc), dtype=np.int32)
+        lanes_v = np.empty((n, Lc), dtype=np.int32)
+        native.ld_encode(ty, tu, tv, (H, W, CH, CW),
+                         (geo.y_slices, geo.x_slices), 1 << cfg.wavelet_depth,
+                         self.qm_block_y, self.qm_block_c,
+                         self.perm_y, self.perm_c,
+                         self.slice_budgets.ravel(), q_out,
+                         lanes_y.ravel(), lanes_u.ravel(), lanes_v.ravel())
+        payload, totals = encode_ld_slices(q_out, lanes_y, lanes_u, lanes_v,
+                                           self.slice_budgets.ravel())
+        out = EncodedPicture(
+            q_indices=q_out.reshape(geo.y_slices, geo.x_slices),
+            payload=payload, slice_totals=np.asarray(totals))
+        if keep_planes:
+            out.transform = Picture(ty, tu, tv, picture.chroma_format)
+            out.quantised = Picture(
+                layout.lanes_to_plane(lanes_y, geo.y_slices, geo.x_slices,
+                                      *geo.luma_slice, cfg.wavelet_depth),
+                layout.lanes_to_plane(lanes_u, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, cfg.wavelet_depth),
+                layout.lanes_to_plane(lanes_v, geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, cfg.wavelet_depth),
+                picture.chroma_format)
+        return out
+
+    # --- analysis transform, adaptively routed (same rationale as the
+    # decoder's host synthesis tail: the transform's consumer — the native
+    # LD rate-control scan — lives on the host, so when the link fetch of
+    # 8 MB of int16 coefficients costs more than one core's forward DWT,
+    # run the DWT where the coefficients are consumed) ---
+
+    def _transform_device(self, picture: Picture):
+        cfg = self.cfg
         dt = (jnp.int16 if max(cfg.luma_depth, cfg.chroma_depth) <= 16
               else jnp.int32)
         y = jnp.asarray(picture.y, dt)
@@ -82,41 +124,62 @@ class LDEncoder:
         buf = np.asarray(self._dwt16(y, c1, c2))
         if buf[-1]:
             ty, tu, tv = self._dwt32(y, c1, c2)
-            ty, tu, tv = (np.ascontiguousarray(np.asarray(a), np.int32)
-                          for a in (ty, tu, tv))
-        else:
-            (H, W), (CH, CW) = self.geo.padded_luma, self.geo.padded_chroma
-            ny, nc = H * W, CH * CW
-            ty = buf[:ny].astype(np.int32).reshape(H, W)
-            tu = buf[ny:ny + nc].astype(np.int32).reshape(CH, CW)
-            tv = buf[ny + nc:ny + 2 * nc].astype(np.int32).reshape(CH, CW)
-        H, W = geo.padded_luma
-        CH, CW = geo.padded_chroma
-        n = geo.n_slices
-        q_out = np.zeros(n, dtype=np.int32)
-        qy = np.zeros((H, W), dtype=np.int32)
-        qu = np.zeros((CH, CW), dtype=np.int32)
-        qv = np.zeros((CH, CW), dtype=np.int32)
-        native.ld_encode(ty, tu, tv, (H, W, CH, CW),
-                         (geo.y_slices, geo.x_slices), 1 << cfg.wavelet_depth,
-                         self.qm_block_y, self.qm_block_c,
-                         self.perm_y, self.perm_c,
-                         self.slice_budgets.ravel(), q_out, qy, qu, qv)
-        lanes_y = layout.plane_to_lanes(qy, geo.y_slices, geo.x_slices,
-                                        cfg.wavelet_depth)
-        lanes_u = layout.plane_to_lanes(qu, geo.y_slices, geo.x_slices,
-                                        cfg.wavelet_depth)
-        lanes_v = layout.plane_to_lanes(qv, geo.y_slices, geo.x_slices,
-                                        cfg.wavelet_depth)
-        payload, totals = encode_ld_slices(q_out, lanes_y, lanes_u, lanes_v,
-                                           self.slice_budgets.ravel())
-        out = EncodedPicture(
-            q_indices=q_out.reshape(geo.y_slices, geo.x_slices),
-            payload=payload, slice_totals=np.asarray(totals))
-        if keep_planes:
-            out.transform = Picture(ty, tu, tv, picture.chroma_format)
-            out.quantised = Picture(qy, qu, qv, picture.chroma_format)
-        return out
+            return tuple(np.ascontiguousarray(np.asarray(a), np.int32)
+                         for a in (ty, tu, tv))
+        (H, W), (CH, CW) = self.geo.padded_luma, self.geo.padded_chroma
+        ny, nc = H * W, CH * CW
+        return (buf[:ny].astype(np.int32).reshape(H, W),
+                buf[ny:ny + nc].astype(np.int32).reshape(CH, CW),
+                buf[ny + nc:ny + 2 * nc].astype(np.int32).reshape(CH, CW))
+
+    def _transform_host(self, picture: Picture):
+        from vc2tpu.pipeline import host_synth
+
+        cfg = self.cfg
+
+        def pad(p, target):
+            ph, pw = target
+            h, w = p.shape
+            if (h, w) == (ph, pw):
+                return np.asarray(p, np.int32)
+            return np.pad(np.asarray(p, np.int32),
+                          ((0, ph - h), (0, pw - w)), mode="edge")
+
+        return tuple(host_synth.dwt_plane_host(pad(p, t), cfg.kernel,
+                                               cfg.wavelet_depth)
+                     for p, t in ((picture.y, self.geo.padded_luma),
+                                  (picture.c1, self.geo.padded_chroma),
+                                  (picture.c2, self.geo.padded_chroma)))
+
+    def _transform(self, picture: Picture):
+        import os
+        import time
+
+        if self._route is None:
+            mode = os.environ.get("VC2TPU_ENCODE_ROUTE", "auto")
+            if mode in ("device", "host"):
+                self._route = mode
+            else:
+                t0 = time.perf_counter()
+                res = self._transform_host(picture)
+                host_t = time.perf_counter() - t0
+                try:
+                    from vc2tpu.cli.decode_stream import Decoder
+
+                    (H, W), (CH, CW) = (self.geo.padded_luma,
+                                        self.geo.padded_chroma)
+                    dev_est = Decoder._probe_cache.get("__ld__")
+                    if dev_est is None:
+                        dev_est = Decoder(sink=None)._probe_link_seconds(
+                            2 * (H * W + 2 * CH * CW))
+                        Decoder._probe_cache["__ld__"] = dev_est
+                except Exception:
+                    dev_est = float("inf")
+                self._route = "host" if host_t < dev_est else "device"
+                return res
+        if self._route == "host":
+            return self._transform_host(picture)
+        return self._transform_device(picture)
 
     def decode_inprocess(self, enc: EncodedPicture, geometry: PictureGeometry,
                          ) -> Picture:

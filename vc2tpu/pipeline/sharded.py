@@ -1,20 +1,29 @@
-"""Multi-chip encode/decode steps over a (data, space) mesh.
+"""Multi-chip encode/decode over a (data, space) mesh — to stream bytes.
 
 Decomposition (SURVEY.md §2 parallelism table):
 
 * ``data``  — independent frames (intra-only codec);
 * ``space`` — row bands of each picture; the DWT exchanges halo rows per
   vertical lifting pass (vc2tpu.shard.halo) over an ICI ring, everything
-  slice-local afterwards (RDO, quantisation, VLC sizing) partitions along
-  the same axis with no further communication — slice rows coincide with
-  row bands.
+  afterwards — RDO, quantisation, VLC entropy packing — is slice-local and
+  partitions along the same axis with no further communication (slice rows
+  coincide with row bands).
 
-The whole step runs under one shard_map in the Mallat band form: subbands
-stay contiguous per shard and slice-lane extraction is pure
-reshape/transpose (the same layout choices as the single-chip pipeline).
-The jitted step takes batched planes (B, H, W) and returns per-slice
-quantiser indices plus quantised lanes, exactly equal to the single-device
-pipeline output (ints, compared with ==).
+The whole encode step, *including the on-device entropy pack*
+(vlc.device_pack.pack_hq_core per shard), runs under one shard_map in the
+Mallat band form. Each shard's slice run is contiguous in the picture's
+raster slice order, so its locally-assembled payload is a contiguous span of
+the final stream: the host driver (ShardedEncoder) just concatenates the
+per-shard payloads and hands them to the ordinary StreamWriter — whole
+pictures or fragments (one-fragment-per-shard streaming included), byte
+identical to the single-chip encoder. Reference path being paralleled:
+/root/reference/src/Library/src/Slices.cpp:662-694 (slice serialisation
+loop) + src/DataUnit.cpp:267-342 (fragment framing).
+
+The decode side (ShardedDecoder / make_sharded_decode_step) scatters
+entropy-decoded lanes to shards and runs dequant + halo-exchange synthesis
+under shard_map; output equals the single-device pipeline exactly (ints,
+asserted with == in tests/test_shard.py and __graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
@@ -25,10 +34,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vc2tpu.core.config import EncoderConfig, Mode
-from vc2tpu.quant.quantiser import quant_banded, scale_banded
+from vc2tpu.quant.quantiser import MAX_QINDEX, quant_banded, scale_banded
 from vc2tpu.rdo.cbr import cbr_quant_indices
 from vc2tpu.slices import layout
 from vc2tpu.shard.halo import forward_bands_local, inverse_bands_local
+from vc2tpu.vlc import device_pack
 from vc2tpu.wavelet import lifting, matrices
 
 
@@ -40,12 +50,16 @@ def _band_meta(geo, depth):
     return bs_y, bs_c
 
 
-def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
-    """Build a jitted multi-chip HQ encode step.
+def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh,
+                             cap_local: int | None = None,
+                             w32: int | None = None):
+    """Build a jitted multi-chip HQ encode step with on-device entropy pack.
 
-    Returns (step_fn, plane_sharding, geo). step_fn(y, c1, c2, budgets) ->
-    (q_indices (B, N), qy, qu, qv lanes). Padding must already be applied
-    (shapes are the padded geometry); y_slices must divide by the ``space``
+    Returns (step_fn, plane_sharding, geo, cap_local, w32).
+    step_fn(y, c1, c2, budgets) -> (q_indices (B, N), bufs (B, space*M))
+    where M = head_bytes(n_local) + cap_local; each shard's segment holds its
+    flags/q_idx/totals head followed by its contiguous payload span.
+    Shapes are the padded geometry; y_slices must divide by the ``space``
     extent so slice rows align with row bands.
     """
     from vc2tpu.pipeline.encoder import slice_geometry
@@ -59,6 +73,29 @@ def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
     qm = jnp.asarray(qmatrix.astype(np.int32))
     bs_y, bs_c = _band_meta(geo, d)
     ys_local = geo.y_slices // space
+    n_loc = ys_local * geo.x_slices
+    cbr = cfg.mode == Mode.HQ_CBR
+    w32_max = (cfg.slice_prefix + 4 + 3 * 255 * cfg.slice_scalar + 3) // 4
+    if cbr:
+        picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
+                         else cfg.compressed_bytes)
+        budgets_map = layout.slice_bytes_map(
+            geo.y_slices, geo.x_slices, picture_bytes, cfg.slice_scalar)
+        shard_sums = budgets_map.ravel().reshape(space, n_loc).sum(axis=1)
+        if cap_local is None:
+            cap_local = int(shard_sums.max()) + n_loc * cfg.slice_prefix
+        if w32 is None:
+            w32 = min((cfg.slice_prefix + int(budgets_map.max()) + 3) // 4,
+                      w32_max)
+    else:
+        coeffs = n_loc * (geo.luma_slice[0] * geo.luma_slice[1]
+                          + 2 * geo.chroma_slice[0] * geo.chroma_slice[1])
+        if cap_local is None:
+            guess = n_loc * (cfg.slice_prefix + 4) + coeffs // 4
+            cap_local = 1 << max(12, int(np.ceil(np.log2(guess))))
+        if w32 is None:
+            per_slice = 2 * cap_local // max(n_loc, 1) + 16
+            w32 = min(1 << int(np.ceil(np.log2(per_slice / 4))), w32_max)
     plane_spec = NamedSharding(mesh, P("data", "space", None))
     budget_spec = NamedSharding(mesh, P("data", "space"))
 
@@ -70,33 +107,171 @@ def make_sharded_encode_step(cfg: EncoderConfig, mesh: Mesh, batch: int):
                                                 geo.x_slices))
         ly, lu, lv = lanes
         b = ly.shape[0]
-        n_loc = ys_local * geo.x_slices
-        if cfg.mode == Mode.HQ_CBR:
+        if cbr:
             q_idx = cbr_quant_indices(
                 ly.reshape(b * n_loc, -1), lu.reshape(b * n_loc, -1),
                 lv.reshape(b * n_loc, -1), qm, bs_y, bs_c,
                 budgets.reshape(b * n_loc), cfg.slice_scalar).reshape(b, n_loc)
         else:
             q_idx = jnp.full((b, n_loc), cfg.q_index, dtype=jnp.int32)
-        return (q_idx, quant_banded(ly, q_idx, qm, bs_y),
-                quant_banded(lu, q_idx, qm, bs_c),
-                quant_banded(lv, q_idx, qm, bs_c))
+        qy = quant_banded(ly, q_idx, qm, bs_y)
+        qu = quant_banded(lu, q_idx, qm, bs_c)
+        qv = quant_banded(lv, q_idx, qm, bs_c)
+        buf = jax.vmap(lambda a, b_, c, q, s: device_pack.pack_hq_core(
+            a, b_, c, q, s, prefix=cfg.slice_prefix, scalar=cfg.slice_scalar,
+            w32=w32, cap_bytes=cap_local, cbr=cbr))(qy, qu, qv, q_idx,
+                                                    budgets)
+        return q_idx, buf
 
     shmap = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data", "space", None),) * 3 + (P("data", "space"),),
-        out_specs=(P("data", "space"), P("data", "space", None),
-                   P("data", "space", None), P("data", "space", None)))
+        out_specs=(P("data", "space"), P("data", "space")))
 
     with mesh:
         step_jit = jax.jit(shmap, in_shardings=(plane_spec,) * 3
                            + (budget_spec,))
-    return step_jit, plane_spec, geo
+    return step_jit, plane_spec, geo, cap_local, w32
 
 
-def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh):
+class ShardedEncoder:
+    """Host driver: pads + shards input frames, runs the sharded encode
+    step, and reassembles per-shard payloads into EncodedPicture results
+    that feed the ordinary StreamWriter (whole pictures or fragments) —
+    byte-identical to the single-chip Encoder."""
+
+    def __init__(self, cfg: EncoderConfig, mesh: Mesh):
+        cfg.validate()
+        self.cfg = cfg
+        self.mesh = mesh
+        self.space = mesh.shape["space"]
+        self.data = mesh.shape["data"]
+        self._build(None, None)
+        geo = self.geo
+        self.n_loc = geo.n_slices // self.space
+        if cfg.mode == Mode.HQ_CBR:
+            picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
+                             else cfg.compressed_bytes)
+            self.slice_budgets = layout.slice_bytes_map(
+                geo.y_slices, geo.x_slices, picture_bytes, cfg.slice_scalar)
+        else:
+            self.slice_budgets = None
+
+    def _build(self, cap_local, w32):
+        (self.step, self.plane_spec, self.geo,
+         self.cap_local, self.w32) = make_sharded_encode_step(
+            self.cfg, self.mesh, cap_local, w32)
+
+    def _pad(self, plane: np.ndarray, target) -> np.ndarray:
+        ph, pw = target
+        h, w = plane.shape
+        if (h, w) == (ph, pw):
+            return plane
+        return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    def encode_batch(self, pictures):
+        """Encode a batch of Pictures (len divisible by the ``data`` extent).
+        Returns a list of (q_indices (ys, xs), payload bytes, slice_totals)
+        EncodedPicture objects, identical to Encoder.encode_picture's."""
+        geo = self.geo
+        B = len(pictures)
+        y = np.stack([self._pad(np.asarray(p.y, np.int32), geo.padded_luma)
+                      for p in pictures])
+        c1 = np.stack([self._pad(np.asarray(p.c1, np.int32), geo.padded_chroma)
+                       for p in pictures])
+        c2 = np.stack([self._pad(np.asarray(p.c2, np.int32), geo.padded_chroma)
+                       for p in pictures])
+        if self.slice_budgets is not None:
+            budgets = self.slice_budgets.ravel().astype(np.int32)
+        else:
+            budgets = np.zeros(geo.n_slices, np.int32)
+        bud = np.tile(budgets[None, :], (B, 1))
+        while True:
+            with self.mesh:
+                q_idx, bufs = self.step(
+                    jax.device_put(y, self.plane_spec),
+                    jax.device_put(c1, self.plane_spec),
+                    jax.device_put(c2, self.plane_spec),
+                    jax.device_put(bud, NamedSharding(self.mesh,
+                                                      P("data", "space"))))
+            out, retry = self._assemble(np.asarray(q_idx), np.asarray(bufs),
+                                        pictures)
+            if not retry:
+                return out
+            # capacity / slice-row miss: grow the static buckets and rebuild
+            self._build(retry[0], retry[1])
+
+    def _assemble(self, q_idx, bufs, pictures):
+        from vc2tpu.pipeline.encoder import EncodedPicture, Encoder
+
+        geo = self.geo
+        n_loc = self.n_loc
+        head = device_pack.head_bytes(n_loc)
+        seg = head + self.cap_local
+        out = []
+        for b in range(bufs.shape[0]):
+            payloads = []
+            totals_all = []
+            fallback = False
+            for s in range(self.space):
+                buf = bufs[b, s * seg:(s + 1) * seg]
+                flags, q_l, totals, payload = device_pack.unpack_result(
+                    buf, n_loc)
+                if flags & device_pack.FLAG_W32:
+                    w32_max = (self.cfg.slice_prefix + 4
+                               + 3 * 255 * self.cfg.slice_scalar + 3) // 4
+                    if self.w32 < w32_max:
+                        return None, (self.cap_local,
+                                      min(self.w32 * 2, w32_max))
+                    fallback = True
+                    break
+                total = int(totals.sum(dtype=np.int64))
+                if total > self.cap_local:
+                    return None, (1 << int(np.ceil(np.log2(total))), self.w32)
+                if flags & device_pack.FLAG_CODE_OVERFLOW:
+                    fallback = True
+                    break
+                if flags & device_pack.FLAG_CBR_FIT:
+                    raise ValueError(
+                        "SliceIO, HQ CBR mode: Too many bytes for the slice")
+                if flags & device_pack.FLAG_SCALAR:
+                    raise ValueError(
+                        "Slice scalar is too small, consider using a larger "
+                        "slice scalar.")
+                payloads.append(payload[:total].tobytes())
+                totals_all.append(totals.astype(np.int64))
+            if fallback:
+                # oversized codes: the exact single-chip host path (rare)
+                if pictures is None:
+                    raise ValueError(
+                        "oversized exp-Golomb code in multi-host encode; "
+                        "no local pixel data for the host fallback")
+                enc = Encoder(self.cfg)
+                out.append(enc.encode_picture(pictures[b]))
+                continue
+            q = q_idx[b].reshape(geo.y_slices, geo.x_slices)
+            if (q > MAX_QINDEX).any():
+                raise ValueError(
+                    "quantization index exceeds maximum implemented value.")
+            out.append(EncodedPicture(
+                q_indices=q, payload=b"".join(payloads),
+                slice_totals=np.concatenate(totals_all)))
+        return out, None
+
+    def shard_slice_counts(self):
+        """(first_slice_index, n_slices) per shard — the natural
+        one-fragment-per-shard boundaries for streaming multi-host output."""
+        return [(s * self.n_loc, self.n_loc) for s in range(self.space)]
+
+
+def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh,
+                             batch_axis: str | None = "data"):
     """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT (band form,
-    halo exchange per vertical pass)."""
+    halo exchange per vertical pass). Counterpart of the single-device
+    synthesis tail (pipeline/decoder.py); output equals it exactly.
+    ``batch_axis=None`` replicates the frame axis (single-picture decode over
+    the ``space`` ring only).
+    Reference path: /root/reference/src/DecodeStream/DecodeStream.cpp:451-613."""
     space = mesh.shape["space"]
     if geo.y_slices % space:
         raise ValueError("y_slices must divide by the space mesh extent")
@@ -120,8 +295,45 @@ def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh):
 
     shmap = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("data", "space"),) + (P("data", "space", None),) * 3,
-        out_specs=(P("data", "space", None),) * 3)
+        in_specs=(P(batch_axis, "space"),)
+        + (P(batch_axis, "space", None),) * 3,
+        out_specs=(P(batch_axis, "space", None),) * 3)
 
     with mesh:
         return jax.jit(shmap)
+
+
+class ShardedDecoder:
+    """Host driver for multi-chip stream decode: entropy-unpack on host
+    (native), scatter lanes across the ``space`` axis, synthesise under
+    shard_map, crop. Output is bit-exact vs the single-device decoder."""
+
+    def __init__(self, kernel, depth: int, geo, mesh: Mesh):
+        self.kernel = kernel
+        self.depth = depth
+        self.geo = geo
+        self.mesh = mesh
+        self.step = make_sharded_decode_step(kernel, depth, geo, mesh,
+                                             batch_axis=None)
+        self.lane_spec = NamedSharding(mesh, P(None, "space", None))
+        self.q_spec = NamedSharding(mesh, P(None, "space"))
+
+    def decode_payload(self, payload: np.ndarray, prefix: int, scalar: int,
+                       start: int = 0):
+        """One picture's slice payload -> (y, c1, c2) padded planes (np)."""
+        from vc2tpu.slices.hq import decode_hq_slices
+
+        geo = self.geo
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        data = decode_hq_slices(payload, geo.n_slices, prefix, scalar,
+                                (Ly, Lc, Lc), start=start)
+        ly, lu, lv = data.lanes
+        with self.mesh:
+            y, c1, c2 = self.step(
+                jax.device_put(np.asarray(data.q_indices, np.int32)[None],
+                               self.q_spec),
+                jax.device_put(np.asarray(ly, np.int32)[None], self.lane_spec),
+                jax.device_put(np.asarray(lu, np.int32)[None], self.lane_spec),
+                jax.device_put(np.asarray(lv, np.int32)[None], self.lane_spec))
+        return np.asarray(y)[0], np.asarray(c1)[0], np.asarray(c2)[0]

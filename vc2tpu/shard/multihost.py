@@ -1,0 +1,145 @@
+"""Multi-host orchestration: distributed init, cross-host mesh, host-0
+stream assembly, and the scaling-efficiency harness.
+
+The reference is strictly single-process (SURVEY.md §2: no MPI/NCCL/any
+distributed anything); this module is the TPU-native scale-out story for
+config #5 (8K row-band sharding across hosts):
+
+* ``data`` axis — frame parallelism across hosts, riding DCN (frames are
+  independent in an intra-only codec);
+* ``space`` axis — row-band parallelism inside each frame, riding ICI
+  (per-lifting-pass halo rings, vc2tpu.shard.halo).
+
+Each process contributes its local devices; the sharded encode step
+(pipeline.sharded) runs identically to the single-process case — the only
+multi-host-specific machinery is (a) jax.distributed initialisation, (b)
+building global arrays from per-process frame data, and (c) gathering the
+per-shard payload buffers so process 0 can assemble the byte stream
+(fragments naturally map one data unit per shard for streaming output).
+
+Validated without TPU pods by the multiprocess CPU harness in
+tests/test_multihost.py (N processes x M virtual CPU devices each), which
+asserts the assembled stream is byte-identical to the single-chip encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vc2tpu.core.config import EncoderConfig
+from vc2tpu.pipeline.sharded import ShardedEncoder
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Bring up the JAX distributed runtime (DCN control plane). On TPU pods
+    all arguments auto-detect; the CPU harness passes them explicitly."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_global_mesh(data: int | None = None,
+                     space: int | None = None) -> Mesh:
+    """Mesh over ALL processes' devices: ``data`` (frames, DCN-major) x
+    ``space`` (row bands, ICI-major). Defaults: data = process count (each
+    host owns whole frames), space = devices per process."""
+    devices = jax.devices()
+    if data is None:
+        data = jax.process_count()
+    if space is None:
+        space = len(devices) // data
+    if data * space != len(devices):
+        raise ValueError(f"mesh {data}x{space} != {len(devices)} devices")
+    # jax.devices() orders by process; reshaping (data, space) keeps each
+    # row's ``space`` ring within one process where possible (ICI not DCN)
+    return Mesh(np.array(devices).reshape(data, space), ("data", "space"))
+
+
+class MultiHostEncoder:
+    """Frame-parallel multi-host HQ encoder.
+
+    Every process calls encode_batch() with the SAME global batch metadata
+    but only its own frames' pixel data (frames are distributed over the
+    ``data`` axis, one block of B/data frames per mesh row). The sharded
+    step runs globally; per-shard payload buffers are allgathered over DCN
+    and every process can assemble the identical stream — process 0 writes
+    it (write_stream)."""
+
+    def __init__(self, cfg: EncoderConfig, mesh: Mesh):
+        self.enc = ShardedEncoder(cfg, mesh)
+        self.cfg = cfg
+        self.mesh = mesh
+
+    def encode_local_batch(self, pictures):
+        """pictures: this process's frames (B/data of them, the mesh-row
+        block owned by this process). Returns EncodedPicture list for the
+        GLOBAL batch, identical on every process."""
+        from jax.experimental import multihost_utils
+
+        enc = self.enc
+        geo = enc.geo
+        y = np.stack([enc._pad(np.asarray(p.y, np.int32), geo.padded_luma)
+                      for p in pictures])
+        c1 = np.stack([enc._pad(np.asarray(p.c1, np.int32), geo.padded_chroma)
+                       for p in pictures])
+        c2 = np.stack([enc._pad(np.asarray(p.c2, np.int32), geo.padded_chroma)
+                       for p in pictures])
+        if enc.slice_budgets is not None:
+            budgets = enc.slice_budgets.ravel().astype(np.int32)
+        else:
+            budgets = np.zeros(geo.n_slices, np.int32)
+        B_local = len(pictures)
+        bud = np.tile(budgets[None, :], (B_local, 1))
+        gy = multihost_utils.host_local_array_to_global_array(
+            y, self.mesh, P("data", "space", None))
+        gc1 = multihost_utils.host_local_array_to_global_array(
+            c1, self.mesh, P("data", "space", None))
+        gc2 = multihost_utils.host_local_array_to_global_array(
+            c2, self.mesh, P("data", "space", None))
+        gbud = multihost_utils.host_local_array_to_global_array(
+            bud, self.mesh, P("data", "space"))
+        with self.mesh:
+            q_idx, bufs = enc.step(gy, gc1, gc2, gbud)
+        # DCN gather: every process receives the full (B, space*M) buffers
+        q_all = multihost_utils.process_allgather(q_idx, tiled=True)
+        bufs_all = multihost_utils.process_allgather(bufs, tiled=True)
+        out, retry = enc._assemble(np.asarray(q_all), np.asarray(bufs_all),
+                                   None)
+        if retry is not None:
+            raise ValueError(
+                "payload capacity miss in multi-host encode; raise cap_local "
+                f"(need {retry})")
+        return out
+
+
+def scaling_efficiency(cfg: EncoderConfig, mesh: Mesh, n_frames: int = 4,
+                       seed: int = 0):
+    """Throughput harness for the 1->N-host scaling target (BASELINE.json
+    north star: >=80% at 8K). Times the sharded encode step end-to-end on
+    ``mesh`` and returns frames/s; run with meshes of increasing host count
+    and divide. Works on any backend (CPU virtual mesh for validation, TPU
+    pod for the real measurement)."""
+    import time
+
+    from vc2tpu.core.picture import Picture
+
+    rng = np.random.default_rng(seed)
+    g = cfg.geometry
+    pics = [Picture(
+        rng.integers(-512, 511, (g.luma_height, g.luma_width)).astype(np.int32),
+        rng.integers(-512, 511, (g.chroma_height, g.chroma_width)).astype(np.int32),
+        rng.integers(-512, 511, (g.chroma_height, g.chroma_width)).astype(np.int32),
+        cfg.chroma_format) for _ in range(n_frames)]
+    enc = ShardedEncoder(cfg, mesh)
+    enc.encode_batch(pics[:mesh.shape["data"]])          # compile
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_frames:
+        k = min(mesh.shape["data"], n_frames - done)
+        enc.encode_batch(pics[done:done + k] * (mesh.shape["data"] // k))
+        done += k
+    return n_frames / (time.perf_counter() - t0)

@@ -55,6 +55,13 @@ def encode_ld_slices(q_indices: np.ndarray, lanes_y: np.ndarray,
     """Pack all LD slices; returns (payload_bytes, per_slice_sizes)."""
     sizes = slice_sizes.astype(np.int64).ravel()
     n = len(sizes)
+    if native is not None:
+        out = np.zeros(int(sizes.sum()), np.uint8)
+        if native.ld_pack(q_indices.ravel(), lanes_y, lanes_u, lanes_v,
+                          sizes, out):
+            raise ValueError(
+                "SliceIO, LD mode: Too many bytes for the U and V slices")
+        return out.tobytes(), sizes
     len_bits = np.array([intlog2(int(8 * s - 7)) for s in sizes], dtype=np.int64)
     y_bits = _bits_used(lanes_y)
     uv_bits = 8 * sizes - 7 - len_bits - y_bits

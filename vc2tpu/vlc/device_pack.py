@@ -126,12 +126,12 @@ def _accumulate(local, w0, p0, p1, w32: int):
     return local
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("prefix", "scalar", "w32", "cap_bytes", "cbr"))
-def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
-                    scalar: int, w32: int, cap_bytes: int, cbr: bool):
-    """Assemble the full HQ slice payload on device.
+def pack_hq_core(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
+                 scalar: int, w32: int, cap_bytes: int, cbr: bool):
+    """Assemble the full HQ slice payload on device. Trace-level core — call
+    pack_hq_payload for the jitted single-chip entry, or call this directly
+    inside shard_map (the sharded encode step packs each shard's slice run
+    locally; per-shard payloads are contiguous by construction).
 
     qy/qu/qv: (N, L_comp) quantised lanes (any int dtype); q_idx: (N,);
     slice_sizes: (N,) CBR byte budgets (ignored unless cbr).
@@ -232,6 +232,16 @@ def pack_hq_payload(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
         jax.lax.bitcast_convert_type(totals, jnp.uint8).ravel(),
     ])
     return jnp.concatenate([head, payload])
+
+
+pack_hq_payload = jax.jit(
+    pack_hq_core, static_argnames=("prefix", "scalar", "w32", "cap_bytes",
+                                   "cbr"))
+
+
+def head_bytes(n: int) -> int:
+    """Size of the flags/q_idx/totals head preceding the payload bytes."""
+    return 4 + 8 * n
 
 
 def unpack_result(buf: np.ndarray, n: int):
