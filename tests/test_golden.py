@@ -76,6 +76,22 @@ def test_encoder_tap_outputs(case, tap, tmp_path):
     assert open(out, "rb").read() == ref
 
 
+@pytest.mark.parametrize("mesh", ["1x8", "2x4"])
+def test_encode_mesh_cli_byte_identical(mesh, tmp_path):
+    """--mesh DxS (full sharded pipeline behind the CLI) must produce the
+    same bytes as the reference encoder."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    case, inp, extra = next(c for c in CASES if c[0] == "cbr_legall_d2")
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "out.vc2")
+    _run_encode(_encode_args(case, inp, extra) + ["--mesh", mesh], src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    assert open(out, "rb").read() == ref
+
+
 def test_ld_encode_host_route_byte_identical(tmp_path, monkeypatch):
     """The LD encoder's host-route analysis transform (native forward DWT)
     must produce the same stream bytes as the reference binary."""

@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
+    p.add_argument("--mesh", metavar="DxS", default=None,
+                   help="encode on a DxS device mesh (frames x row-bands), "
+                        "e.g. --mesh 2x4: the full sharded pipeline incl. "
+                        "per-shard entropy pack (HQ modes, Stream output); "
+                        "bytes are identical to the single-chip path")
     return p
 
 
@@ -130,6 +135,53 @@ def _psnr(orig: np.ndarray, dec: np.ndarray, depth: int, pixels: int) -> float:
     return -20.0 * math.log10(rms) if rms > 0 else float("inf")
 
 
+class _ShardedAdapter:
+    """Drives the multi-chip pipeline (pipeline.sharded.ShardedEncoder)
+    behind the single-picture CLI loop: pictures batch over the ``data``
+    mesh axis (frame parallelism) and each batch runs the full sharded step
+    — halo DWT, sharded RDO/quantise, per-shard entropy pack. Results are
+    byte-identical to the single-chip Encoder."""
+
+    def __init__(self, cfg, mesh_arg: str):
+        from vc2tpu.pipeline.sharded import ShardedEncoder
+        from vc2tpu.shard.mesh import make_mesh
+
+        d, s = (int(v) for v in mesh_arg.lower().split("x"))
+        self.impl = ShardedEncoder(cfg, make_mesh(data=d, space=s))
+        self.geo = self.impl.geo
+        self.data = d
+        self._batch = []            # [(seq, Picture)]
+        self._done = {}             # seq -> EncodedPicture
+        self._seq = 0
+
+    def _flush_batch(self, force=False):
+        if not self._batch or (not force and len(self._batch) < self.data):
+            return
+        idxs = [i for i, _ in self._batch]
+        pics = [p for _, p in self._batch]
+        pad = self.data - len(pics)
+        res = self.impl.encode_batch(pics + [pics[-1]] * pad)
+        for i, r in zip(idxs, res):
+            self._done[i] = r
+        self._batch = []
+
+    def encode_picture_async(self, picture):
+        seq = self._seq
+        self._seq += 1
+        self._batch.append((seq, picture))
+        self._flush_batch()
+
+        def handle():
+            if seq not in self._done:
+                self._flush_batch(force=True)
+            return self._done.pop(seq)
+
+        return handle
+
+    def encode_picture(self, picture, keep_planes=False):
+        return self.encode_picture_async(picture)()
+
+
 def run(args) -> int:
     cfg = config_from_args(args)
     output = EncOutput(args.output)
@@ -144,7 +196,13 @@ def run(args) -> int:
     outfile = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
     reader = PlanarReader(infile, geometry, luma_fmt, chroma_fmt)
 
-    if cfg.mode == Mode.LD:
+    if args.mesh:
+        if cfg.mode == Mode.LD:
+            raise ValueError("--mesh supports the HQ modes only")
+        if output != EncOutput.STREAM:
+            raise ValueError("--mesh supports Stream output only")
+        encoder = _ShardedAdapter(cfg, args.mesh)
+    elif cfg.mode == Mode.LD:
         encoder = ld_pipeline.LDEncoder(cfg)
     else:
         encoder = Encoder(cfg)
