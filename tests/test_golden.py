@@ -92,15 +92,19 @@ def test_encode_mesh_cli_byte_identical(mesh, tmp_path):
     assert open(out, "rb").read() == ref
 
 
-def test_ld_encode_host_route_byte_identical(tmp_path, monkeypatch):
-    """The LD encoder's host-route analysis transform (native forward DWT)
-    must produce the same stream bytes as the reference binary."""
+@pytest.mark.parametrize("host_case", ["ld_legall_d2", "constq_legall_d2",
+                                       "constq_fidelity_d1",
+                                       "constq_extreme_fidelity"])
+def test_encode_host_route_byte_identical(host_case, tmp_path, monkeypatch):
+    """The encoders' host-route analysis paths (native forward DWT + native
+    quantise/pack) must produce the same stream bytes as the reference
+    binary — LD and HQ ConstQ."""
     from vc2tpu.pipeline import host_synth
 
     if not host_synth.available():
         pytest.skip("native host codec unavailable")
     monkeypatch.setenv("VC2TPU_ENCODE_ROUTE", "host")
-    case, inp, extra = next(c for c in CASES if c[0] == "ld_legall_d2")
+    case, inp, extra = next(c for c in CASES if c[0] == host_case)
     src = os.path.join(GOLDEN, f"{inp}.16p2")
     out = str(tmp_path / "out.vc2")
     _run_encode(_encode_args(case, inp, extra), src, out)

@@ -99,6 +99,10 @@ class _Native:
         lib.hq_dequant_scatter.argtypes = [p16, i64, i64, p32, p32, p32,
                                            i64, i64, i64, i64, p32]
         lib.clip_format_out.argtypes = [p32, i64, i64, i64, i64, pu8]
+        lib.hq_quant_gather.argtypes = [p32, i64, i64, p32, p32, p32,
+                                        i64, i64, i64, i64, p32]
+        lib.hq_pack_write.argtypes = [p32, p32, p32, p32, i64, i64, i64,
+                                      i64, i64, p64, p64, p64, p64, pu8]
 
     def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
         self._lib.pack_codes(
@@ -198,6 +202,26 @@ class _Native:
     def clip_format_out(self, plane, out_h, out_w, bitdepth, out):
         self._lib.clip_format_out(plane, plane.shape[1], int(out_h),
                                   int(out_w), int(bitdepth), out)
+
+    def hq_quant_gather(self, plane, q_idx, qm_lane, off_plane, xs, sh, sw,
+                        lanes):
+        S, L = lanes.shape
+        self._lib.hq_quant_gather(
+            plane, S, L, np.ascontiguousarray(q_idx, np.int32), qm_lane,
+            off_plane, int(xs), int(sh), int(sw), plane.shape[1], lanes)
+
+    def hq_pack_write(self, q_idx, ly, lu, lv, prefix, scalar, yb, ub, vb,
+                      starts, out):
+        n, Ly = ly.shape
+        Lc = lu.shape[1]
+        c64 = lambda a: np.ascontiguousarray(a, np.int64)
+        self._lib.hq_pack_write(
+            np.ascontiguousarray(q_idx, np.int32),
+            np.ascontiguousarray(ly, np.int32),
+            np.ascontiguousarray(lu, np.int32),
+            np.ascontiguousarray(lv, np.int32),
+            n, Ly, Lc, int(prefix), int(scalar),
+            c64(yb), c64(ub), c64(vb), c64(starts), out)
 
 
 def _build() -> str | None:

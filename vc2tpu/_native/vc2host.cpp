@@ -1209,3 +1209,62 @@ EXPORT void dwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
     }
   }
 }
+
+// Forward twin of hq_dequant_scatter: gather each slice's coefficients from
+// the in-place transform-layout plane in serialisation (perm) order and
+// dead-zone quantise them (Quantisation.cpp:69-76) — the HQ ConstQ encode
+// analysis stage for the link-failover route (no rate-control search, so
+// one core beats shipping the frame across a slow device link).
+EXPORT void hq_quant_gather(const int32_t* plane, int64_t S, int64_t L,
+                            const int32_t* q_idx, const int32_t* qm_lane,
+                            const int32_t* off_plane,
+                            int64_t xs, int64_t sh, int64_t sw, int64_t W,
+                            int32_t* lanes) {
+  for (int64_t si = 0; si < S; ++si) {
+    const int32_t* base = plane + (si / xs) * sh * W + (si % xs) * sw;
+    int32_t* lv = lanes + si * L;
+    const int q = q_idx[si];
+    for (int64_t k = 0; k < L; ++k) {
+      int aq = q - qm_lane[k];
+      if (aq < 0) aq = 0; else if (aq > 119) aq = 119;
+      lv[k] = c_quant(base[off_plane[k]], aq);
+    }
+  }
+}
+
+// Native HQ slice payload writer (the write half of slices/hq.py
+// encode_hq_slices; sizing/validation stays in the caller). Wire format per
+// slice (reference Slices.cpp:305-467): ``prefix`` zero bytes, 1-byte
+// qIndex, then per component {1-byte length/scalar, bounded exp-Golomb
+// data, byte-align}. ``out`` arrives zeroed; codes cut at their region
+// bound lose only the all-1 tails of trailing zero codes.
+EXPORT void hq_pack_write(const int32_t* q_idx,
+                          const int32_t* ly, const int32_t* lu,
+                          const int32_t* lv,
+                          int64_t n, int64_t Ly, int64_t Lc,
+                          int64_t prefix, int64_t scalar,
+                          const int64_t* yb, const int64_t* ub,
+                          const int64_t* vb, const int64_t* starts,
+                          uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = starts[i] + prefix;
+    out[p] = static_cast<uint8_t>(q_idx[i]);
+    const int32_t* comps[3] = {ly + i * Ly, lu + i * Lc, lv + i * Lc};
+    const int64_t Ls[3] = {Ly, Lc, Lc};
+    const int64_t cb[3] = {yb[i], ub[i], vb[i]};
+    ++p;
+    for (int c = 0; c < 3; ++c) {
+      out[p] = static_cast<uint8_t>(cb[c] / scalar);
+      ++p;
+      int64_t bit = p * 8;
+      const int64_t bound = bit + cb[c] * 8;
+      const int32_t* lanes = comps[c];
+      for (int64_t k = 0; k < Ls[c] && bit < bound; ++k) {
+        int nb;
+        const uint64_t code = svlc_code(lanes[k], &nb);
+        put_bits_bounded(out, bit, bound, code, nb);
+      }
+      p += cb[c];
+    }
+  }
+}

@@ -12,6 +12,8 @@ Golomb packing, data units) runs on host via the native codec.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -289,7 +291,82 @@ class Encoder:
             payload=payload[:total].tobytes(),
             slice_totals=totals.astype(np.int64))
 
+    # --- ConstQ link-failover route (same rationale as the decoder's host
+    # synthesis tail: with no rate-control search there is no device compute
+    # to amortise, so when shipping the frame across the link costs more
+    # than one core's forward DWT + quantise + pack, run the whole analysis
+    # where the input already lives). CBR always uses the device — the
+    # batched search is genuine accelerator work. ---
+
+    def _can_host(self) -> bool:
+        from vc2tpu.pipeline import host_synth
+
+        return self.cfg.mode == Mode.HQ_ConstQ and host_synth.available()
+
+    def _encode_host(self, picture: Picture) -> EncodedPicture:
+        from vc2tpu._native.bridge import native
+        from vc2tpu.pipeline import host_synth
+
+        cfg, geo = self.cfg, self.geo
+        q_idx = np.full(geo.n_slices, cfg.q_index, np.int32)
+        qm_key = tuple(int(v) for v in self.qm_bands)
+        lanes = []
+        for p, (sh, sw), (ph, pw) in (
+                (picture.y, geo.luma_slice, geo.padded_luma),
+                (picture.c1, geo.chroma_slice, geo.padded_chroma),
+                (picture.c2, geo.chroma_slice, geo.padded_chroma)):
+            arr = np.asarray(p, np.int32)
+            if arr.shape != (ph, pw):
+                arr = np.pad(arr, ((0, ph - arr.shape[0]),
+                                   (0, pw - arr.shape[1])), mode="edge")
+            plane = host_synth.dwt_plane_host(arr, cfg.kernel,
+                                              cfg.wavelet_depth)
+            off_plane, qm_lane = host_synth._scatter_tables(
+                sh, sw, cfg.wavelet_depth, pw, qm_key)
+            out = np.empty((geo.n_slices, sh * sw), np.int32)
+            native.hq_quant_gather(plane, q_idx, qm_lane, off_plane,
+                                   geo.x_slices, sh, sw, out)
+            lanes.append(out)
+        payload, totals = encode_hq_slices(
+            q_idx, *lanes, cfg.slice_prefix, cfg.slice_scalar)
+        return EncodedPicture(
+            q_indices=q_idx.reshape(geo.y_slices, geo.x_slices),
+            payload=payload, slice_totals=np.asarray(totals))
+
+    _route = None                 # ConstQ analysis route
+    _probe_state = 0
+    _t_device = None
+
     def encode_picture_async(self, picture: Picture):
+        """Routed async encode: device pipeline (default; the only route for
+        CBR) or the native host path for ConstQ behind a slow link. The
+        'auto' probe times one warm device frame against one host frame and
+        commits; VC2TPU_ENCODE_ROUTE=device|host overrides."""
+        if self._can_host() and self._route is None:
+            mode = os.environ.get("VC2TPU_ENCODE_ROUTE", "auto")
+            if mode in ("device", "host"):
+                self._route = mode
+            else:
+                self._probe_state += 1
+                if self._probe_state == 2:      # device, warm, timed
+                    t0 = time.perf_counter()
+                    enc = self._device_async(picture)()
+                    self._t_device = time.perf_counter() - t0
+                    return lambda: enc
+                if self._probe_state == 3:      # host, timed -> commit
+                    t0 = time.perf_counter()
+                    enc = self._encode_host(picture)
+                    t_host = time.perf_counter() - t0
+                    self._route = ("host" if t_host < self._t_device
+                                   else "device")
+                    return lambda: enc
+                # probe_state 1: device compile warm-up frame
+        if self._route == "host" and self._can_host():
+            enc = self._encode_host(picture)
+            return lambda: enc
+        return self._device_async(picture)
+
+    def _device_async(self, picture: Picture):
         """Dispatch analysis + device packing and return a zero-arg callable
         producing the EncodedPicture; the device->host copy overlaps whatever
         the caller does before invoking it (one-frame software pipeline)."""

@@ -91,6 +91,11 @@ def encode_hq_slices(q_indices: np.ndarray, lanes_y: np.ndarray,
     total_bytes = int(starts[-1])
     payload = np.zeros(total_bytes, dtype=np.uint8)
 
+    if native is not None:
+        native.hq_pack_write(q_indices, lanes_y, lanes_u, lanes_v, prefix,
+                             scalar, yb, ub, vb, starts[:-1], payload)
+        return payload.tobytes(), totals
+
     # fixed header bytes
     s = starts[:-1]
     payload[s + prefix] = q_indices.astype(np.uint8)
