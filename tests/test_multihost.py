@@ -86,6 +86,28 @@ def test_two_process_encode_byte_identical(tmp_path):
     assert open(out, "rb").read() == buf.getvalue()
 
 
+def test_scaling_harness_smoke():
+    """scaling_efficiency runs end-to-end on a virtual mesh and returns a
+    finite throughput (the real measurement needs TPU-pod hardware)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, WaveletKernel)
+    from vc2tpu.shard.mesh import make_mesh
+    from vc2tpu.shard.multihost import scaling_efficiency
+
+    cfg = EncoderConfig(height=64, width=64, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                        y_size=1, x_size=2, mode=Mode.HQ_CBR,
+                        luma_depth=10, chroma_depth=10,
+                        frame_rate=FrameRate.FR25,
+                        compressed_bytes=2048, slice_scalar=1)
+    fps = scaling_efficiency(cfg, make_mesh(data=2, space=4), n_frames=2)
+    assert fps > 0
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("VC2TPU_SLOW"),
                     reason="8K sharded step is minutes on one CPU core; "

@@ -103,6 +103,9 @@ class _Native:
                                         i64, i64, i64, i64, p32]
         lib.hq_pack_write.argtypes = [p32, p32, p32, p32, i64, i64, i64,
                                       i64, i64, p64, p64, p64, p64, pu8]
+        lib.unpack_dequant_plane.argtypes = [pu8, i64, p64, p64, i64, i64,
+                                             p32, p32, p32, i64, i64, i64,
+                                             i64, p32]
 
     def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
         self._lib.pack_codes(
@@ -209,6 +212,16 @@ class _Native:
         self._lib.hq_quant_gather(
             plane, S, L, np.ascontiguousarray(q_idx, np.int32), qm_lane,
             off_plane, int(xs), int(sh), int(sw), plane.shape[1], lanes)
+
+    def unpack_dequant_plane(self, payload, starts_bits, bounds_bits, L,
+                             q_idx, qm_lane, off_plane, xs, sh, sw, plane):
+        self._lib.unpack_dequant_plane(
+            np.ascontiguousarray(payload, np.uint8), payload.size,
+            np.ascontiguousarray(starts_bits, np.int64),
+            np.ascontiguousarray(bounds_bits, np.int64),
+            starts_bits.size, int(L),
+            np.ascontiguousarray(q_idx, np.int32), qm_lane, off_plane,
+            int(xs), int(sh), int(sw), plane.shape[1], plane)
 
     def hq_pack_write(self, q_idx, ly, lu, lv, prefix, scalar, yb, ub, vb,
                       starts, out):

@@ -1268,3 +1268,212 @@ EXPORT void hq_pack_write(const int32_t* q_idx,
     }
   }
 }
+
+// Fused decode tail head: bounded exp-Golomb decode + inverse quantise +
+// scatter into the in-place transform-layout plane (the host decode route's
+// replacement for unpack_streams_i16 + hq_dequant_scatter — no intermediate
+// lane buffer, and no int16 ceiling: magnitudes decode in int32 exactly as
+// the reference's bit-serial reader).
+//
+// Streams (one per slice-component region) decode as a GANG OF FOUR in one
+// round-robin loop: each stream's decode is a serial dependency chain
+// (every code's length gates the next code's position), so interleaving
+// four independent chains lets the out-of-order core overlap them.
+// Pathological cases (region tail, buffer edge, oversized codes) drop a
+// stream out of the gang into the bounded per-code path.
+
+namespace {
+
+struct UDPShared {
+  const uint8_t* buf;
+  int64_t buflen;
+  const int32_t* qm_lane;
+  const int32_t* off_plane;
+  int64_t L;
+};
+
+struct UDPStream {
+  int64_t pos, lim, base_bit, lane;
+  int32_t* base;
+  int q;
+  uint64_t w;
+  int navail;
+
+  inline void store(const UDPShared& sh, int32_t v) {
+    int aq = q - sh.qm_lane[lane];
+    if (aq < 0) aq = 0; else if (aq > 119) aq = 119;
+    const int32_t neg = v >> 31;
+    v = (v ^ neg) - neg;
+    v *= kQfLut[aq];
+    v += kQoLut[aq] & -static_cast<int32_t>(v > 0);
+    v += 2;
+    v = v < 0 ? -((-v) >> 2) : v >> 2;
+    base[sh.off_plane[lane]] = (v ^ neg) - neg;
+    ++lane;
+  }
+
+  inline void zero_fill(const UDPShared& sh) {
+    for (; lane < sh.L; ++lane) base[sh.off_plane[lane]] = 0;
+  }
+
+  // one code via a fresh bound-masked peek (safe everywhere)
+  void decode_one_peek(const UDPShared& sh) {
+    const uint64_t win = peek64(sh.buf, sh.buflen, base_bit + pos, lim - pos);
+    const uint64_t follow = win & 0xAAAAAAAAAAAAAAAAull;
+    if (follow == 0) {
+      uint32_t value = 1;
+      for (;;) {
+        int b = (pos < lim) ? get_bit(sh.buf, sh.buflen, base_bit + pos) : 1;
+        ++pos;
+        if (b) break;
+        int d = (pos < lim) ? get_bit(sh.buf, sh.buflen, base_bit + pos) : 1;
+        ++pos;
+        value = (value << 1) | static_cast<uint32_t>(d);
+      }
+      int32_t v = static_cast<int32_t>(value - 1);
+      if (v != 0) {
+        int sign = (pos < lim) ? get_bit(sh.buf, sh.buflen, base_bit + pos) : 1;
+        ++pos;
+        if (sign) v = -v;
+      }
+      store(sh, v);
+      return;
+    }
+    const int j = __builtin_clzll(follow) >> 1;
+    int consumed = 2 * j + 1;
+    uint32_t mag = 0;
+    if (j > 0) {
+#if defined(__BMI2__)
+      const uint32_t data =
+          static_cast<uint32_t>(_pext_u64(win, 0x5555555555555555ull));
+      mag = ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+      uint32_t data = 0;
+      for (int t = 0; t < j; ++t)
+        data = (data << 1) | static_cast<uint32_t>((win >> (62 - 2 * t)) & 1);
+      mag = ((1u << j) | data) - 1u;
+#endif
+    }
+    int32_t v = static_cast<int32_t>(mag);
+    if (v != 0) {
+      if (win >> (63 - consumed) & 1) v = -v;
+      ++consumed;
+    }
+    store(sh, v);
+    pos += consumed;
+  }
+
+  // drain the stream with per-code peeks (tail / pathological path)
+  void finish_slow(const UDPShared& sh) {
+    while (lane < sh.L) {
+      if (pos >= lim) { zero_fill(sh); return; }
+      decode_one_peek(sh);
+    }
+  }
+
+  inline bool fast_ok(const UDPShared& sh) const {
+    return pos + 64 <= lim && ((base_bit + pos) >> 3) + 9 <= sh.buflen;
+  }
+
+  inline void load_window(const UDPShared& sh) {
+    const int64_t abspos = base_bit + pos;
+    const int64_t fb = abspos >> 3;
+    const int mis = static_cast<int>(abspos & 7);
+    uint64_t a;
+    std::memcpy(&a, sh.buf + fb, 8);
+    w = bswap64(a) << mis;
+    if (mis) w |= static_cast<uint64_t>(sh.buf[fb + 8]) >> (8 - mis);
+    navail = 64;
+  }
+
+  // decode one code from the rolling window. Returns false when the stream
+  // left the fast regime (caller finishes it with finish_slow) or is done.
+  // The per-code pos+64<=lim guard keeps the window wholly inside the
+  // bounded region, where no 1-masking is needed.
+  inline bool fast_one(const UDPShared& sh) {
+    if (lane >= sh.L) return false;
+    if (pos + 64 > lim) return false;
+    if (navail <= 40) {
+      if (!fast_ok(sh)) return false;
+      load_window(sh);
+    }
+    const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
+    int j;
+    if (follow == 0 || (j = __builtin_clzll(follow) >> 1,
+                        2 * j + 2 > navail)) {
+      decode_one_peek(sh);          // pathological code
+      return false;                 // window out of sync: re-enter via slow
+    }
+    int consumed = 2 * j + 1;
+    uint32_t mag = 0;
+    if (j > 0) {
+#if defined(__BMI2__)
+      const uint32_t data =
+          static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
+      mag = ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+      uint32_t data = 0;
+      for (int t = 0; t < j; ++t)
+        data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
+      mag = ((1u << j) | data) - 1u;
+#endif
+    }
+    int32_t v = static_cast<int32_t>(mag);
+    if (v != 0) {
+      if (w >> (63 - consumed) & 1) v = -v;
+      ++consumed;
+    }
+    store(sh, v);
+    pos += consumed;
+    w <<= consumed;
+    navail -= consumed;
+    return true;
+  }
+};
+
+}  // namespace
+
+EXPORT void unpack_dequant_plane(const uint8_t* buf, int64_t buflen,
+                                 const int64_t* start, const int64_t* bound,
+                                 int64_t S, int64_t L,
+                                 const int32_t* q_idx,
+                                 const int32_t* qm_lane,
+                                 const int32_t* off_plane,
+                                 int64_t xs, int64_t sh_, int64_t sw,
+                                 int64_t W, int32_t* plane) {
+  const UDPShared sh{buf, buflen, qm_lane, off_plane, L};
+  constexpr int G = 4;
+  UDPStream st[G];
+  for (int64_t g0 = 0; g0 < S; g0 += G) {
+    const int gn = static_cast<int>(S - g0 < G ? S - g0 : G);
+    unsigned mask = 0;
+    for (int i = 0; i < gn; ++i) {
+      const int64_t s = g0 + i;
+      st[i].pos = 0;
+      st[i].lim = bound[s];
+      st[i].base_bit = start[s];
+      st[i].lane = 0;
+      st[i].base = plane + (s / xs) * sh_ * W + (s % xs) * sw;
+      st[i].q = q_idx[s];
+      st[i].navail = 0;
+      if (st[i].fast_ok(sh)) {
+        st[i].load_window(sh);
+        mask |= 1u << i;
+      } else {
+        st[i].finish_slow(sh);
+      }
+    }
+    while (mask) {
+      for (int i = 0; i < gn; ++i) {
+        if (!(mask & (1u << i))) continue;
+        if (!st[i].fast_one(sh)) {
+          mask &= ~(1u << i);
+          if (st[i].lane < L) {
+            if (st[i].pos >= st[i].lim) st[i].zero_fill(sh);
+            else st[i].finish_slow(sh);
+          }
+        }
+      }
+    }
+  }
+}

@@ -82,6 +82,7 @@ class Decoder:
         self._first_words = None      # formatted first field (interlace)
         self._combined = None         # combined coefficient buffer (HQ)
         self._widths = None           # fixed-pack widths from the unpack
+        self._fused = None            # (payload, dstart, cbytes) lazy route
         # Synthesis route: the decoded-output tail runs on the device (one
         # narrow H2D + fused dequant/IDWT/format + one D2H fetch) or on the
         # native host engine (host_synth) — for decode the host already holds
@@ -121,25 +122,54 @@ class Decoder:
 
     _probe_cache: dict = {}           # process-wide: nbytes -> seconds
 
-    def _probe_link_seconds(self, nbytes: int) -> float:
+    def _probe_link_seconds(self, nbytes: int, budget: float = 2.0) -> float:
         """Measured device->host fetch time for an ``nbytes`` buffer (the
         device route's per-frame link cost). Two reps, min (the first may
         absorb a trivial compile); cached process-wide — the link does not
-        change between streams."""
+        change between streams.
+
+        The probe runs in a daemon thread with a wall-clock budget: in a
+        fresh process the FIRST device op can block for minutes while the
+        accelerator lease is held elsewhere (see BASELINE.md), and a decoder
+        must never stall on device availability — if the probe does not
+        answer in time the host route wins by forfeit (the late result still
+        lands in the cache for later streams)."""
         cached = Decoder._probe_cache.get(nbytes)
         if cached is not None:
             return cached
-        import jax.numpy as jnp
+        try:
+            from jax._src import xla_bridge
 
-        n = max(nbytes // 4, 1)
-        best = float("inf")
-        for i in range(2):
-            a = jnp.zeros((n,), jnp.uint32) + np.uint32(i)
-            t0 = time.perf_counter()
-            np.asarray(a)
-            best = min(best, time.perf_counter() - t0)
-        Decoder._probe_cache[nbytes] = best
-        return best
+            initialized = bool(xla_bridge._backends)
+        except Exception:
+            initialized = True          # unknown layout: attempt the probe
+        if not initialized:
+            # a pure decode process has not touched the accelerator; do not
+            # force an initialisation just to lose the probe — host route
+            # by forfeit (not cached: a later in-process device user
+            # re-opens the question)
+            return float("inf")
+        import threading
+
+        def probe():
+            try:
+                import jax.numpy as jnp
+
+                n = max(nbytes // 4, 1)
+                best = float("inf")
+                for i in range(2):
+                    a = jnp.zeros((n,), jnp.uint32) + np.uint32(i)
+                    t0 = time.perf_counter()
+                    np.asarray(a)
+                    best = min(best, time.perf_counter() - t0)
+                Decoder._probe_cache[nbytes] = best
+            except Exception:
+                Decoder._probe_cache[nbytes] = float("inf")
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout=budget)
+        return Decoder._probe_cache.get(nbytes, float("inf"))
 
     def _auto_route(self, host_fn, out_bytes: int):
         """Time this frame's host synthesis against a link probe, commit the
@@ -210,7 +240,22 @@ class Decoder:
                             (pch // ys, pcw // xs))
         Ly = geo.luma_slice[0] * geo.luma_slice[1]
         Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        self._fused = None
         if hq:
+            if (self.output == DecOutput.DECODED and self._route != "device"
+                    and host_synth.available()):
+                # host synthesis route: skip the lane decode — the fused
+                # native tail decodes the payload straight into the
+                # dequantised plane (host_synth.synthesise_payload_to_words)
+                from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+                q_idx, dstart, cbytes, _end = scan_hq_slice_offsets(
+                    payload, geo.n_slices, pre.slice_prefix,
+                    pre.slice_size_scalar, start)
+                self._fused = (payload, dstart, cbytes)
+                self._combined = None
+                self._widths = None
+                return geo, pic_h, q_idx, None, None, None
             data = decode_hq_slices(payload, geo.n_slices, pre.slice_prefix,
                                     pre.slice_size_scalar, (Ly, Lc, Lc),
                                     start=start)
@@ -256,6 +301,29 @@ class Decoder:
             # DECODED: fused synthesis tail (dequant+IDWT+clip+format) on the
             # adaptively chosen route — device (one narrow H2D + one packed
             # D2H, async) or native host (no device traffic at all)
+            if self._fused is not None:
+                payload_f, dstart, cbytes = self._fused
+                self._fused = None
+
+                def host_fn():
+                    return host_synth.synthesise_payload_to_words_host(
+                        payload_f, q_idx, dstart, cbytes, qmatrix,
+                        pre.wavelet_kernel, pre.depth, geo, out_geom,
+                        hdr.bitdepth)
+
+                if self._route is None:
+                    samples = (out_geom.luma_height * out_geom.luma_width
+                               + 2 * out_geom.chroma_height
+                               * out_geom.chroma_width)
+                    if hdr.bitdepth == 10 and not hdr.interlace:
+                        fetch_bytes = 4 * ((samples + 2) // 3)
+                    else:
+                        fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
+                    words, post = self._auto_route(host_fn, fetch_bytes)
+                else:
+                    words, post = host_fn()
+                self._emit_words(words, post)
+                return
             combined = self._combined
             if combined is None:
                 combined = np.concatenate(

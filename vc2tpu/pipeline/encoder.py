@@ -84,6 +84,9 @@ class Encoder:
     def __init__(self, cfg: EncoderConfig):
         cfg.validate()
         self.cfg = cfg
+        self._route = None            # ConstQ analysis route (see
+        self._probe_state = 0         # encode_picture_async)
+        self._t_device = None
         self.geo = slice_geometry(cfg)
         self.qmatrix = matrices.quant_matrix(cfg.kernel, cfg.wavelet_depth)
         d = cfg.wavelet_depth
@@ -332,10 +335,6 @@ class Encoder:
         return EncodedPicture(
             q_indices=q_idx.reshape(geo.y_slices, geo.x_slices),
             payload=payload, slice_totals=np.asarray(totals))
-
-    _route = None                 # ConstQ analysis route
-    _probe_state = 0
-    _t_device = None
 
     def encode_picture_async(self, picture: Picture):
         """Routed async encode: device pipeline (default; the only route for

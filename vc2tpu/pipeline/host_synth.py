@@ -132,6 +132,45 @@ def synthesise_to_words_host(combined: np.ndarray, q_idx: np.ndarray,
     return out, (lambda a: a.tobytes())
 
 
+def synthesise_payload_to_words_host(payload: np.ndarray, q_idx: np.ndarray,
+                                     dstart: np.ndarray, cbytes: np.ndarray,
+                                     qmatrix: np.ndarray,
+                                     kernel: WaveletKernel, depth: int, geo,
+                                     out_geometry: PictureGeometry,
+                                     bitdepth: int):
+    """Fully-fused host decode tail: bounded exp-Golomb decode + dequant
+    straight into the transform plane (no intermediate lane buffer), then
+    IDWT + clip + format. ``dstart``/``cbytes`` are the per-component slice
+    regions from scan_hq_slice_offsets (byte offsets/sizes, shape (3, N))."""
+    qm_key = tuple(int(v) for v in qmatrix)
+    q_idx = np.ascontiguousarray(q_idx, np.int32)
+    word = 1 if bitdepth <= 8 else 2
+    og = out_geometry
+    sizes = (og.luma_height * og.luma_width,
+             og.chroma_height * og.chroma_width,
+             og.chroma_height * og.chroma_width)
+    out = np.empty(sum(sizes) * word, np.uint8)
+    pos = 0
+    meta, taps, shift = _inverted_ladder(kernel)
+    for c, ((sh, sw), (oh, ow)) in enumerate((
+            (geo.luma_slice, (og.luma_height, og.luma_width)),
+            (geo.chroma_slice, (og.chroma_height, og.chroma_width)),
+            (geo.chroma_slice, (og.chroma_height, og.chroma_width)))):
+        ph, pw = geo.y_slices * sh, geo.x_slices * sw
+        plane = np.empty((ph, pw), np.int32)
+        off_plane, qm_lane = _scatter_tables(sh, sw, depth, pw, qm_key)
+        native.unpack_dequant_plane(payload, dstart[c] * 8, cbytes[c] * 8,
+                                    sh * sw, q_idx, qm_lane, off_plane,
+                                    geo.x_slices, sh, sw, plane)
+        native.idwt_plane(plane, depth, meta, taps, shift)
+        native.clip_format_out(plane, oh, ow, bitdepth,
+                               out[pos:pos + oh * ow * word])
+        pos += oh * ow * word
+    if word == 2:
+        out = out.view(np.uint16)
+    return out, (lambda a: a.tobytes())
+
+
 def synthesise_transform_to_words_host(transform, kernel: WaveletKernel,
                                        depth: int,
                                        out_geometry: PictureGeometry,
