@@ -68,8 +68,6 @@ def main():
             profile=Profile.PROFILE_HQ, height=H, width=W,
             chroma_format=cfg.chroma_format, interlace=False,
             frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
-        from vc2tpu.pipeline.sharded import ShardedEncoder  # geometry
-
         geo = enc.enc.geo
         for i, e in enumerate(encoded):
             wtr.write_picture(i, PicturePreamble(

@@ -123,6 +123,20 @@ def test_streaming_input_bit_exact_and_bounded():
     assert dec3.max_window <= biggest_unit + 3 * 4096
 
 
+def test_streaming_huge_lying_next_offset_stays_bounded():
+    """A corrupt next_parse_offset claiming a ~512 MB body must not balloon
+    the rolling window; the body is skipped without buffering."""
+    stream = (GOLDEN / "constq_legall_d2.vc2").read_bytes()
+    # AUX unit claiming 1<<29 bytes, actual data only a few KB of padding,
+    # then a valid stream
+    aux = (b"BBCD" + bytes([0x20]) + (1 << 29).to_bytes(4, "big")
+           + (0).to_bytes(4, "big"))
+    corrupted = aux + b"\x00" * 8192 + stream
+    dec = Decoder(sink=io.BytesIO())
+    assert dec.run_stream(io.BytesIO(corrupted), chunk_bytes=4096) == 0
+    assert dec.max_window < (8 << 20)
+
+
 def test_streaming_resync_matches_inmemory():
     stream = bytearray((GOLDEN / "constq_legall_d2.vc2").read_bytes())
     pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xE8]

@@ -495,6 +495,7 @@ static inline int predict_dc(const int32_t* ll, int llw, int y, int x) {
   return 0;
 }
 
+
 static inline int svlc_bits(int32_t v) {
   if (v == 0) return 1;
   uint32_t u = static_cast<uint32_t>(v < 0 ? -v : v) + 1;
@@ -521,6 +522,8 @@ struct LDLaneQuantiser {
   int32_t* vals;       // gathered lane values of the current slice
   int32_t* decodedLL;
   int v, h;
+  int32_t body_max;    // max |coeff| over the non-LL lanes (current slice)
+  int32_t qm_body_max; // max quant-matrix value over the non-LL lanes
 
   static int scratch_ints(int L_, int sliceH_, int sliceW_, int ts_) {
     return 3 * L_ + 2 * (sliceH_ / ts_) * (sliceW_ / ts_);
@@ -535,17 +538,27 @@ struct LDLaneQuantiser {
     qm_lane = scratch; off_block = scratch + L; vals = scratch + 2 * L;
     lly = scratch + 3 * L; llx = lly + nLL;
     decodedLL = dll; v = 0; h = 0;
+    qm_body_max = 0;
     for (int k = 0; k < L; ++k) {
       const int by = perm[k] / sliceW, bx = perm[k] % sliceW;
       qm_lane[k] = qm_block[perm[k]];
       off_block[k] = by * W + bx;
       if (k < nLL) { lly[k] = by / ts; llx[k] = bx / ts; }
+      else if (qm_lane[k] > qm_body_max) qm_body_max = qm_lane[k];
     }
   }
 
   void load_slice() {
     const int32_t* base = plane + v * sliceH * W + h * sliceW;
-    for (int k = 0; k < L; ++k) vals[k] = base[off_block[k]];
+    int32_t m = 0;
+    for (int k = 0; k < nLL; ++k) vals[k] = base[off_block[k]];
+    for (int k = nLL; k < L; ++k) {
+      const int32_t x = base[off_block[k]];
+      vals[k] = x;
+      const int32_t a = x < 0 ? -x : x;
+      if (a > m) m = a;
+    }
+    body_max = m;
   }
 
   // Trial-quantise the current slice. Fills nb[k] (code bit lengths) and,
@@ -562,6 +575,19 @@ struct LDLaneQuantiser {
       decodedLL[yLL * llw + xLL] = c_scale(qv, aq) + pred;
       if (out) out[k] = qv;
       nb[k] = static_cast<uint8_t>(svlc_bits(qv));
+    }
+    // all-zero-body shortcut: if even the largest coefficient under the
+    // least-quantising adjusted index rounds to zero, every non-LL lane is
+    // a 1-bit zero code — skip the trial-quantise scan entirely
+    {
+      const int aq_min = adjust_q(qIndex, qm_body_max);
+      const int qf = qf_i32(aq_min);
+      if (qf > 0 && static_cast<int64_t>(body_max) * 4 < qf) {
+        std::memset(nb + nLL, 1, static_cast<size_t>(L - nLL));
+        if (out) std::memset(out + nLL, 0,
+                             static_cast<size_t>(L - nLL) * sizeof(int32_t));
+        return;
+      }
     }
     if (out) {
       for (int k = nLL; k < L; ++k) {

@@ -446,6 +446,20 @@ class Decoder:
         def consume(n: int):
             del window[:n]
 
+        def skip(n: int):
+            """Discard n bytes of input WITHOUT buffering them (aux/padding
+            bodies and corrupt-picture skips can be arbitrarily large)."""
+            nonlocal eof
+            have = min(n, len(window))
+            consume(have)
+            left = n - have
+            while left > 0 and not eof:
+                b = fp.read(min(chunk_bytes, left))
+                if not b:
+                    eof = True
+                    break
+                left -= len(b)
+
         first = True
         while True:
             fill(13)
@@ -474,9 +488,11 @@ class Decoder:
             first = False
             self.log(f"Have read data unit of type: {du_type.value}")
             # pull the declared unit body into the window (headers are small;
-            # pictures are one data unit — the window's high-water mark)
+            # pictures are one data unit — the window's high-water mark).
+            # Cap the prefetch: a corrupt next_parse_offset must not force an
+            # unbounded buffer (the picture path grows further on demand)
             if 13 <= next_off < (1 << 30):
-                fill(next_off)
+                fill(min(next_off, 64 << 20))
             if du_type == DataUnitType.SEQUENCE_HEADER:
                 fill(min(max(next_off, 4096), 1 << 20))
                 rd = StreamReader(bytes(window[:len(window)]))
@@ -500,8 +516,7 @@ class Decoder:
                              DataUnitType.PADDING_DATA):
                 if next_off - 13 < 0:
                     raise ValueError("data length is less than zero.")
-                fill(next_off)
-                consume(min(next_off, len(window)))
+                skip(next_off)
             elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
                 hq = du_type == DataUnitType.HQ_PICTURE
                 end = None
@@ -528,8 +543,7 @@ class Decoder:
                 if end is not None:
                     consume(end)
                 elif next_off >= 13:
-                    fill(next_off)
-                    consume(min(next_off, len(window)))
+                    skip(next_off)
                 else:
                     consume(1)
                     if not resync():
@@ -538,7 +552,7 @@ class Decoder:
             elif du_type in (DataUnitType.HQ_FRAGMENT,
                              DataUnitType.LD_FRAGMENT):
                 hq = du_type == DataUnitType.HQ_FRAGMENT
-                fill(max(next_off, 13 + 4 + 8))
+                fill(max(min(next_off, 64 << 20), 13 + 4 + 8))
                 rd = StreamReader(bytes(window[:len(window)]))
                 rd.major_version = self._major_version
                 rd.r.seek(13)
