@@ -139,7 +139,32 @@ def test_8k_sharded_encode_step(tmp_path):
                   rng.integers(-512, 512, (H, W // 2)).astype(np.int32),
                   cfg.chroma_format)
     mesh = make_mesh(data=1, space=8)
-    got = ShardedEncoder(cfg, mesh).encode_batch([pic])[0]
+    senc = ShardedEncoder(cfg, mesh)
+    got = senc.encode_batch([pic])[0]
     want = Encoder(cfg).encode_picture(pic)
     np.testing.assert_array_equal(got.q_indices, want.q_indices)
     assert got.payload == want.payload
+
+    # decode leg: 8-way sharded synthesis of the 8K payload == host engine
+    from vc2tpu.pipeline.sharded import ShardedDecoder
+    from vc2tpu.pipeline import host_synth
+    from vc2tpu.wavelet import matrices
+
+    sdec = ShardedDecoder(cfg.kernel, cfg.wavelet_depth, senc.geo, mesh)
+    payload = np.frombuffer(got.payload, np.uint8)
+    ry, _, _ = sdec.decode_payload(payload, cfg.slice_prefix,
+                                   cfg.slice_scalar)
+    if host_synth.available():
+        from vc2tpu.slices.hq import decode_hq_slices
+
+        geo = senc.geo
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        d = decode_hq_slices(payload, geo.n_slices, cfg.slice_prefix,
+                             cfg.slice_scalar, (Ly, Lc, Lc))
+        ref_y = host_synth.synthesise_component(
+            np.ascontiguousarray(d.lanes[0], np.int16), d.q_indices,
+            matrices.quant_matrix(cfg.kernel, cfg.wavelet_depth).astype(np.int32),
+            cfg.kernel, cfg.wavelet_depth, geo.y_slices, geo.x_slices,
+            *geo.luma_slice)
+        np.testing.assert_array_equal(np.asarray(ry), ref_y)

@@ -73,6 +73,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _synthesise(ly, lu, lv, q_idx, qmatrix, kernel, depth, geo, out_geom,
+                chroma_format) -> Picture:
+    """Dequant + IDWT, preferring the native host engine (no accelerator
+    needed for a conformance decode); bit-exact either way."""
+    from vc2tpu.pipeline import host_synth
+
+    lanes3 = [np.asarray(a) for a in (ly, lu, lv)]
+    if (host_synth.available()
+            and all(np.abs(a).max(initial=0) <= 32767 for a in lanes3)):
+        qm = np.ascontiguousarray(qmatrix, np.int32)
+        q_idx = np.ascontiguousarray(q_idx, np.int32)
+        planes = []
+        for lanes, (sh, sw), (oh, ow) in (
+                (lanes3[0], geo.luma_slice,
+                 (out_geom.luma_height, out_geom.luma_width)),
+                (lanes3[1], geo.chroma_slice,
+                 (out_geom.chroma_height, out_geom.chroma_width)),
+                (lanes3[2], geo.chroma_slice,
+                 (out_geom.chroma_height, out_geom.chroma_width))):
+            p = host_synth.synthesise_component(
+                np.ascontiguousarray(lanes, np.int16), q_idx, qm, kernel,
+                depth, geo.y_slices, geo.x_slices, sh, sw)
+            planes.append(p[:oh, :ow])
+        return Picture(planes[0], planes[1], planes[2], chroma_format)
+    return synthesise_lanes(ly, lu, lv, q_idx, qmatrix, kernel, depth, geo,
+                            out_geom, chroma_format)
+
+
 def run(args) -> int:
     bit_depth = args.bitDepth or 8 * args.bytes
     luma_depth = args.lumaDepth or bit_depth
@@ -164,8 +192,8 @@ def run(args) -> int:
                                        dequant_only=True)
                 write_picture(sink, pic, sig_fmt)
                 continue
-            picture = synthesise_lanes(ly, lu, lv, q_idx, qmatrix, kernel,
-                                       depth, geo, out_geom, chroma_format)
+            picture = _synthesise(ly, lu, lv, q_idx, qmatrix, kernel, depth,
+                                  geo, out_geom, chroma_format)
             fields.append(picture)
 
         if out == DecOutput.DECODED:
