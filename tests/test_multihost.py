@@ -20,8 +20,13 @@ HERE = os.path.dirname(__file__)
 
 @pytest.mark.slow
 def test_two_process_encode_byte_identical(tmp_path):
+    import socket
+
     out = str(tmp_path / "mh.vc2")
     n = 2
+    with socket.socket() as s:        # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)        # worker sets its own device count
@@ -29,7 +34,7 @@ def test_two_process_encode_byte_identical(tmp_path):
     for pid in range(n):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
-             "localhost:12421", str(n), str(pid), out],
+             f"localhost:{port}", str(n), str(pid), out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     fail = []
     for p in procs:

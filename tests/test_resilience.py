@@ -123,6 +123,38 @@ def test_streaming_input_bit_exact_and_bounded():
     assert dec3.max_window <= biggest_unit + 3 * 4096
 
 
+def test_streaming_zero_next_offset_still_decodes():
+    """next_parse_offset = 0 is legal (the reference parses sequentially);
+    the windowed reader must grow on demand and decode every frame, even
+    when the zeroed unit is the LAST one (EOF mid-growth)."""
+    stream = bytearray((GOLDEN / "constq_legall_d2.vc2").read_bytes())
+    ref = (GOLDEN / "constq_legall_d2.dec.16p2").read_bytes()
+    pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xE8]
+    for i in pics:                   # zero every picture's next offset
+        stream[i + 5:i + 9] = b"\x00\x00\x00\x00"
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run_stream(io.BytesIO(bytes(stream)), chunk_bytes=256) == 0
+    assert sink.getvalue() == ref
+
+
+def test_streaming_truncated_ld_is_skipped_not_garbage():
+    """A truncated LD picture must fail (and be skipped), not silently
+    decode the missing payload as zeros."""
+    stream = bytearray((GOLDEN / "ld_legall_d2.vc2").read_bytes())
+    ref = (GOLDEN / "ld_legall_d2.dec.16p2").read_bytes()
+    # cut the stream in the middle of the second LD picture's payload
+    pics = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xC8]
+    assert len(pics) == 2
+    cut = bytes(stream[:pics[1] + 200])
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run_stream(io.BytesIO(cut), chunk_bytes=128) == 0
+    frame_bytes = len(ref) // 2
+    assert dec.frames_out == 1
+    assert sink.getvalue() == ref[:frame_bytes]
+
+
 def test_streaming_huge_lying_next_offset_stays_bounded():
     """A corrupt next_parse_offset claiming a ~512 MB body must not balloon
     the rolling window; the body is skipped without buffering."""

@@ -63,6 +63,16 @@ class _FragState:
     slices_decoded: int = 0
 
 
+def _fetch_bytes_estimate(out_geom: PictureGeometry, hdr) -> int:
+    """Bytes the device route would fetch per frame (10-bit video packs
+    3 samples/uint32 on device; otherwise one word per sample)."""
+    samples = (out_geom.luma_height * out_geom.luma_width
+               + 2 * out_geom.chroma_height * out_geom.chroma_width)
+    if hdr.bitdepth == 10 and not hdr.interlace:
+        return 4 * ((samples + 2) // 3)
+    return samples * (1 if hdr.bitdepth <= 8 else 2)
+
+
 class Decoder:
     """Stateful stream decoder usable as a library (the CLI drives it)."""
 
@@ -83,6 +93,7 @@ class Decoder:
         self._combined = None         # combined coefficient buffer (HQ)
         self._widths = None           # fixed-pack widths from the unpack
         self._fused = None            # (payload, dstart, cbytes) lazy route
+        self._scan_end = None         # slice-chain end from the lazy scan
         # Synthesis route: the decoded-output tail runs on the device (one
         # narrow H2D + fused dequant/IDWT/format + one D2H fetch) or on the
         # native host engine (host_synth) — for decode the host already holds
@@ -241,6 +252,7 @@ class Decoder:
         Ly = geo.luma_slice[0] * geo.luma_slice[1]
         Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
         self._fused = None
+        self._scan_end = None
         if hq:
             if (self.output == DecOutput.DECODED and self._route != "device"
                     and host_synth.available()):
@@ -253,6 +265,7 @@ class Decoder:
                     payload, geo.n_slices, pre.slice_prefix,
                     pre.slice_size_scalar, start)
                 self._fused = (payload, dstart, cbytes)
+                self._scan_end = int(_end)
                 self._combined = None
                 self._widths = None
                 return geo, pic_h, q_idx, None, None, None
@@ -312,14 +325,8 @@ class Decoder:
                         hdr.bitdepth)
 
                 if self._route is None:
-                    samples = (out_geom.luma_height * out_geom.luma_width
-                               + 2 * out_geom.chroma_height
-                               * out_geom.chroma_width)
-                    if hdr.bitdepth == 10 and not hdr.interlace:
-                        fetch_bytes = 4 * ((samples + 2) // 3)
-                    else:
-                        fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
-                    words, post = self._auto_route(host_fn, fetch_bytes)
+                    words, post = self._auto_route(
+                        host_fn, _fetch_bytes_estimate(out_geom, hdr))
                 else:
                     words, post = host_fn()
                 self._emit_words(words, post)
@@ -332,16 +339,11 @@ class Decoder:
                         and isinstance(combined, np.ndarray)
                         and combined.dtype == np.int16)
             if self._route is None and can_host:
-                samples = (out_geom.luma_height * out_geom.luma_width
-                           + 2 * out_geom.chroma_height * out_geom.chroma_width)
-                if hdr.bitdepth == 10 and not hdr.interlace:
-                    fetch_bytes = 4 * ((samples + 2) // 3)
-                else:
-                    fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
                 words, post = self._auto_route(
                     lambda: host_synth.synthesise_to_words_host(
                         combined, q_idx, qmatrix, pre.wavelet_kernel,
-                        pre.depth, geo, out_geom, hdr.bitdepth), fetch_bytes)
+                        pre.depth, geo, out_geom, hdr.bitdepth),
+                    _fetch_bytes_estimate(out_geom, hdr))
             elif self._route == "host" and can_host:
                 words, post = host_synth.synthesise_to_words_host(
                     combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
@@ -372,12 +374,7 @@ class Decoder:
                 return
             # fused synthesis tail (IDWT + clip + format), adaptively routed
             if self._route is None and host_synth.available():
-                samples = (out_geom.luma_height * out_geom.luma_width
-                           + 2 * out_geom.chroma_height * out_geom.chroma_width)
-                if hdr.bitdepth == 10 and not hdr.interlace:
-                    fetch_bytes = 4 * ((samples + 2) // 3)
-                else:
-                    fetch_bytes = samples * (1 if hdr.bitdepth <= 8 else 2)
+                fetch_bytes = _fetch_bytes_estimate(out_geom, hdr)
                 words, post = self._auto_route(
                     lambda: host_synth.synthesise_transform_to_words_host(
                         transform, pre.wavelet_kernel, pre.depth, out_geom,
@@ -432,7 +429,7 @@ class Decoder:
             """Drop bytes until the window starts at a parse_info prefix."""
             nonlocal window
             while True:
-                i = bytes(window).find(b"BBCD")
+                i = window.find(b"BBCD")
                 if i >= 0:
                     del window[:i]
                     return True
@@ -495,7 +492,7 @@ class Decoder:
                 fill(min(next_off, 64 << 20))
             if du_type == DataUnitType.SEQUENCE_HEADER:
                 fill(min(max(next_off, 4096), 1 << 20))
-                rd = StreamReader(bytes(window[:len(window)]))
+                rd = StreamReader(bytes(window))
                 rd.r.seek(13)
                 try:
                     self.hdr = rd.read_sequence_header()
@@ -520,7 +517,7 @@ class Decoder:
             elif du_type in (DataUnitType.HQ_PICTURE, DataUnitType.LD_PICTURE):
                 hq = du_type == DataUnitType.HQ_PICTURE
                 end = None
-                grow_cap = max(next_off, 0) + (64 << 20)
+                grow_cap = min(max(next_off, 0), 64 << 20) + (64 << 20)
                 while True:
                     try:
                         end = self._handle_picture_window(window, hq)
@@ -528,10 +525,14 @@ class Decoder:
                     except Exception as exc:
                         # the slice chain may genuinely extend past a lying
                         # next_parse_offset: grow the window and retry (up to
-                        # a 64 MB margin) before declaring the picture corrupt
-                        if (not eof and len(window) < grow_cap
-                                and fill(min(len(window) + chunk_bytes,
-                                             grow_cap))):
+                        # a 64 MB margin) before declaring the picture
+                        # corrupt. Retry whenever the window actually grew —
+                        # hitting EOF short of the requested target must not
+                        # discard a picture whose tail just arrived.
+                        before = len(window)
+                        if not eof and before < grow_cap:
+                            fill(min(before + 8 * chunk_bytes, grow_cap))
+                        if len(window) > before:
                             continue
                         print(f"Failed to read {'HQ' if hq else 'LD'} "
                               f"compressed frame ({exc})", file=sys.stderr)
@@ -553,15 +554,15 @@ class Decoder:
                              DataUnitType.LD_FRAGMENT):
                 hq = du_type == DataUnitType.HQ_FRAGMENT
                 fill(max(min(next_off, 64 << 20), 13 + 4 + 8))
-                rd = StreamReader(bytes(window[:len(window)]))
+                rd = StreamReader(bytes(window))
                 rd.major_version = self._major_version
                 rd.r.seek(13)
                 try:
                     end = self._handle_fragment(rd, hq)
+                    consume(min(end, len(window)))
                 except Exception as exc:
                     print(f"Failed to read fragment ({exc})", file=sys.stderr)
-                    end = next_off if next_off >= 13 else 13
-                consume(min(end, len(window)))
+                    skip(next_off if next_off >= 13 else 13)
             else:
                 consume(13)
 
@@ -577,15 +578,35 @@ class Decoder:
             self.log("Cannot decode frame, no previous sequence header!")
             return rd.r.byte_pos
         payload = np.frombuffer(rd.data, dtype=np.uint8)
+        if not hq:
+            # LD slice sizes are header-determined: check the window holds
+            # the whole payload BEFORE decoding (the bounded-region reader
+            # would otherwise silently decode zeros past the window; the HQ
+            # scan raises on its own)
+            from vc2tpu.core.config import chroma_dims as _cd
+
+            pic_h0 = (self.hdr.height // 2 if self.hdr.interlace
+                      else self.hdr.height)
+            ys0 = pre.slices_y
+            compressed = (pre.slice_bytes_numerator * ys0 * pre.slices_x
+                          // pre.slice_bytes_denominator)
+            pb = (compressed // 2 if self.hdr.interlace else compressed)
+            need = rd.r.byte_pos + int(layout.slice_bytes_map(
+                ys0, pre.slices_x, pb, 1).sum())
+            if need > len(rd.data):
+                raise ValueError("LD slice payload runs past the window")
         geo, pic_h, q_idx, ly, lu, lv = \
             self._decode_picture_payload(pre, payload, hq,
                                          start=rd.r.byte_pos)
         if hq:
-            from vc2tpu.slices.hq import scan_hq_slice_offsets
+            if self._scan_end is not None:
+                end = self._scan_end
+            else:
+                from vc2tpu.slices.hq import scan_hq_slice_offsets
 
-            _, _, _, end = scan_hq_slice_offsets(
-                payload, geo.n_slices, pre.slice_prefix,
-                pre.slice_size_scalar, rd.r.byte_pos)
+                _, _, _, end = scan_hq_slice_offsets(
+                    payload, geo.n_slices, pre.slice_prefix,
+                    pre.slice_size_scalar, rd.r.byte_pos)
         else:
             compressed = (pre.slice_bytes_numerator * geo.n_slices
                           // pre.slice_bytes_denominator)

@@ -178,6 +178,10 @@ class _ShardedAdapter:
 
         return handle
 
+    @property
+    def pipeline_depth(self) -> int:
+        return self.data
+
     def encode_picture(self, picture, keep_planes=False):
         return self.encode_picture_async(picture)()
 
@@ -232,19 +236,26 @@ def run(args) -> int:
     # dispatch overlap the previous picture's device work + fetch
     can_pipeline = (output == EncOutput.STREAM and not keep_planes
                     and hasattr(encoder, "encode_picture_async"))
-    pending = None              # (picture_number, preamble, result handle)
+    from collections import deque
 
-    def flush_pending():
-        nonlocal pending
-        if pending is None:
-            return
-        picture_number, pre, handle = pending
-        pending = None
+    pending = deque()           # FIFO of (picture_number, preamble, handle)
+    # pictures in flight before the oldest result is forced: 1 for the
+    # single-chip pipeline; the mesh adapter needs its whole frame batch
+    # dispatched before any result exists (otherwise every flush pads the
+    # batch with duplicate frames and wastes the data axis)
+    pipe_depth = getattr(encoder, "pipeline_depth", 1)
+
+    def flush_one():
+        picture_number, pre, handle = pending.popleft()
         enc = handle()
         all_q_indices.append(enc.q_indices.ravel())
         writer.write_picture(picture_number, pre, enc.payload,
                              hq=cfg.mode != Mode.LD,
                              slice_sizes=enc.slice_totals)
+
+    def flush_pending():
+        while pending:
+            flush_one()
 
     while True:
         in_frame = reader.read_frame()
@@ -271,9 +282,10 @@ def run(args) -> int:
                     slices_x=geo.x_slices, slices_y=geo.y_slices,
                     slice_prefix=cfg.slice_prefix,
                     slice_size_scalar=cfg.slice_scalar)
-                handle = encoder.encode_picture_async(picture)
-                flush_pending()
-                pending = (picture_number, pre, handle)
+                pending.append((picture_number, pre,
+                                encoder.encode_picture_async(picture)))
+                while len(pending) > pipe_depth:
+                    flush_one()
                 continue
             enc = encoder.encode_picture(picture, keep_planes=keep_planes)
             frame_q_indices.append(enc.q_indices.ravel())

@@ -168,11 +168,11 @@ class LDEncoder:
 
                     (H, W), (CH, CW) = (self.geo.padded_luma,
                                         self.geo.padded_chroma)
-                    dev_est = Decoder._probe_cache.get("__ld__")
-                    if dev_est is None:
-                        dev_est = Decoder(sink=None)._probe_link_seconds(
-                            2 * (H * W + 2 * CH * CW))
-                        Decoder._probe_cache["__ld__"] = dev_est
+                    # the probe caches measured values itself (keyed by
+                    # size); an inf forfeit (device uninitialised) is NOT
+                    # cached so a later in-process device user re-probes
+                    dev_est = Decoder(sink=None)._probe_link_seconds(
+                        2 * (H * W + 2 * CH * CW))
                 except Exception:
                     dev_est = float("inf")
                 self._route = "host" if host_t < dev_est else "device"

@@ -135,11 +135,14 @@ def scaling_efficiency(cfg: EncoderConfig, mesh: Mesh, n_frames: int = 4,
         rng.integers(-512, 511, (g.chroma_height, g.chroma_width)).astype(np.int32),
         cfg.chroma_format) for _ in range(n_frames)]
     enc = ShardedEncoder(cfg, mesh)
-    enc.encode_batch(pics[:mesh.shape["data"]])          # compile
+    data = mesh.shape["data"]
+    enc.encode_batch((pics * data)[:data])               # compile
     t0 = time.perf_counter()
     done = 0
     while done < n_frames:
-        k = min(mesh.shape["data"], n_frames - done)
-        enc.encode_batch(pics[done:done + k] * (mesh.shape["data"] // k))
+        k = min(data, n_frames - done)
+        batch = pics[done:done + k]
+        batch = batch + [batch[-1]] * (data - k)         # pad to the extent
+        enc.encode_batch(batch)
         done += k
     return n_frames / (time.perf_counter() - t0)
