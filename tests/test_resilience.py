@@ -141,6 +141,12 @@ def test_streaming_zero_next_offset_still_decodes():
 def test_streaming_truncated_ld_is_skipped_not_garbage():
     """A truncated LD picture must fail (and be skipped), not silently
     decode the missing payload as zeros."""
+    from vc2tpu._native.bridge import native
+
+    if native is None:
+        import pytest
+
+        pytest.skip("LD profile requires the native host codec")
     stream = bytearray((GOLDEN / "ld_legall_d2.vc2").read_bytes())
     ref = (GOLDEN / "ld_legall_d2.dec.16p2").read_bytes()
     # cut the stream in the middle of the second LD picture's payload

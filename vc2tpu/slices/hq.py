@@ -162,16 +162,19 @@ def scan_hq_slice_offsets(payload: np.ndarray, n_slices: int, prefix: int,
         cbytes = cbytes.reshape(3, n_slices)
         return q, dstart, cbytes, int(end)
     pos = start
-    for i in range(n_slices):
-        pos += prefix
-        q[i] = payload[pos]
-        pos += 1
-        for c in range(3):
-            size = int(payload[pos]) * scalar
+    try:
+        for i in range(n_slices):
+            pos += prefix
+            q[i] = payload[pos]
             pos += 1
-            dstart[c, i] = pos
-            cbytes[c, i] = size
-            pos += size
+            for c in range(3):
+                size = int(payload[pos]) * scalar
+                pos += 1
+                dstart[c, i] = pos
+                cbytes[c, i] = size
+                pos += size
+    except IndexError:
+        raise ValueError("slice payload runs past the end of the data unit")
     if pos > len(payload):
         raise ValueError("slice payload runs past the end of the data unit")
     return q, dstart, cbytes, pos
