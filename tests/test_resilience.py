@@ -63,6 +63,46 @@ def test_corrupt_second_field_does_not_skew_pairing():
     assert sink.getvalue() == ref[frame_bytes:]
 
 
+def test_lost_first_field_does_not_skew_pairing():
+    """Losing the FIRST field of a frame must not buffer the surviving
+    second field as a first field (which would mispair every later frame):
+    field parity is tracked from picture numbers and the orphan dropped."""
+    s = (GOLDEN / "constq_interlaced.vc2").read_bytes()
+    ref = (GOLDEN / "constq_interlaced.dec.16p2").read_bytes()
+    pics = [i for i in _parse_infos(s) if s[i + 4] == 0xE8]
+    assert len(pics) == 4             # 2 frames = fields 0,1 then 2,3
+    eos = max(i for i in _parse_infos(s) if s[i + 4] == 0x10)
+    # picture run repeated once (parse offsets are unit lengths, so whole
+    # units concatenate consistently): fields 0,1,2,3,0,1,2,3 — then DROP
+    # the first run's field 2 (transport loss of a first field)
+    doubled = s[:eos] + s[pics[0]:eos] + s[eos:]
+    lost = doubled[:pics[2]] + doubled[pics[3]:]
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(lost) == 0
+    fb = len(ref) // 2
+    # field 3 of the damaged frame is dropped (odd parity, no first field);
+    # the repeated run then decodes both frames bit-exact
+    assert dec.frames_out == 3
+    assert sink.getvalue() == ref[:fb] + ref
+
+
+def test_fragment_zero_next_offset_grows_window():
+    """A fragment data unit with next_parse_offset = 0 (legal) whose body
+    exceeds the first window fill must grow-and-retry like the picture
+    path, not be reported truncated."""
+    stream = bytearray((GOLDEN / "cbr_fragmented.vc2").read_bytes())
+    ref = (GOLDEN / "cbr_fragmented.dec.16p2").read_bytes()
+    frags = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xEC]
+    assert frags
+    for i in frags:                  # zero every fragment's next offset
+        stream[i + 5:i + 9] = b"\x00\x00\x00\x00"
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run_stream(io.BytesIO(bytes(stream)), chunk_bytes=64) == 0
+    assert sink.getvalue() == ref
+
+
 def test_truncated_final_slice_is_rejected():
     """A final slice whose component data runs past the data-unit end must
     fail the picture (and be skipped), not silently mis-seek the reader."""

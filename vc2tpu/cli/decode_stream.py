@@ -90,6 +90,9 @@ class Decoder:
         self._pending = []            # FIFO of (device words, post) in flight
         self._depth = 3               # dispatches in flight before blocking
         self._first_words = None      # formatted first field (interlace)
+        self._first_picnum = None     # picture number of the buffered field
+        self._field_parity = None     # picnum parity of FIRST fields
+        self._cur_picnum = 0          # picture number being decoded
         self._combined = None         # combined coefficient buffer (HQ)
         self._widths = None           # fixed-pack widths from the unpack
         self._fused = None            # (payload, dstart, cbytes) lazy route
@@ -202,8 +205,27 @@ class Decoder:
         formatted output samples for one progressive frame or one field."""
         hdr = self.hdr
         if hdr.interlace:
+            # Field pairing is by picture number, not arrival order: losing
+            # one field (corrupt or missing) must not pair every later frame
+            # from mismatched fields. First fields carry the parity of the
+            # first field seen in the stream; a buffered first field is only
+            # paired with picture number first+1 (mod 2^32).
+            picnum = self._cur_picnum
+            if (self.pic == 1
+                    and picnum != ((self._first_picnum + 1) & 0xFFFFFFFF)):
+                self.log(f"Dropping stale first field {self._first_picnum} "
+                         f"(next decoded picture is {picnum})")
+                self.pic = 0
+                self._first_words = None
             if self.pic == 0:
+                if self._field_parity is None:
+                    self._field_parity = picnum & 1
+                if (picnum & 1) != self._field_parity:
+                    self.log(f"Dropping second field {picnum} whose first "
+                             "field was not decoded")
+                    return
                 self._first_words = words
+                self._first_picnum = picnum
                 self.pic = 1
                 return
             self.pic = 0
@@ -554,15 +576,28 @@ class Decoder:
                              DataUnitType.LD_FRAGMENT):
                 hq = du_type == DataUnitType.HQ_FRAGMENT
                 fill(max(min(next_off, 64 << 20), 13 + 4 + 8))
-                rd = StreamReader(bytes(window))
-                rd.major_version = self._major_version
-                rd.r.seek(13)
-                try:
-                    end = self._handle_fragment(rd, hq)
-                    consume(min(end, len(window)))
-                except Exception as exc:
-                    print(f"Failed to read fragment ({exc})", file=sys.stderr)
-                    skip(next_off if next_off >= 13 else 13)
+                grow_cap = min(max(next_off, 0), 64 << 20) + (64 << 20)
+                while True:
+                    rd = StreamReader(bytes(window))
+                    rd.major_version = self._major_version
+                    rd.r.seek(13)
+                    try:
+                        end = self._handle_fragment(rd, hq)
+                        consume(min(end, len(window)))
+                        break
+                    except Exception as exc:
+                        # a fragment body may extend past a zero/lying
+                        # next_parse_offset: grow the window and retry
+                        # (mirrors the picture path) before skipping it
+                        before = len(window)
+                        if not eof and before < grow_cap:
+                            fill(min(before + 8 * chunk_bytes, grow_cap))
+                        if len(window) > before:
+                            continue
+                        print(f"Failed to read fragment ({exc})",
+                              file=sys.stderr)
+                        skip(next_off if next_off >= 13 else 13)
+                        break
             else:
                 consume(13)
 
@@ -572,7 +607,7 @@ class Decoder:
         rd = StreamReader(bytes(window))
         rd.major_version = self._major_version
         rd.r.seek(13)
-        _picnum = rd.read_picture_number()
+        self._cur_picnum = rd.read_picture_number()
         pre = rd.read_preamble(hq)
         if self.hdr is None:
             self.log("Cannot decode frame, no previous sequence header!")
@@ -583,10 +618,6 @@ class Decoder:
             # the whole payload BEFORE decoding (the bounded-region reader
             # would otherwise silently decode zeros past the window; the HQ
             # scan raises on its own)
-            from vc2tpu.core.config import chroma_dims as _cd
-
-            pic_h0 = (self.hdr.height // 2 if self.hdr.interlace
-                      else self.hdr.height)
             ys0 = pre.slices_y
             compressed = (pre.slice_bytes_numerator * ys0 * pre.slices_x
                           // pre.slice_bytes_denominator)
@@ -645,6 +676,7 @@ class Decoder:
             arr = np.frombuffer(payload, dtype=np.uint8)
             geo, pic_h, q_idx, ly, lu, lv = \
                 self._decode_picture_payload(st.preamble, arr, hq)
+            self._cur_picnum = picnum
             self._finish_picture(st.preamble, geo, pic_h, q_idx, ly, lu, lv,
                                  hq)
             del self.frags[picnum]
