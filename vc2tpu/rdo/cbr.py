@@ -9,32 +9,109 @@ quantise+size passes over every coefficient — the encode-time hot loop.
 
 Here each search step quantises and sizes *all* slices simultaneously:
 one (nSlices, L) element-wise pass per step, with the per-slice
-trial-quantiser vector updated by masked arithmetic; quantiser tables are
-gathered per (slice, band) and broadcast along the band-contiguous lanes
-(quant_banded). The hill climb is a ``lax.while_loop`` with a per-slice
-active mask. Identical decisions to the reference, no per-slice loop.
+trial-quantiser vector updated by masked arithmetic, replicating the
+reference's probe sequence verbatim (so no monotonicity assumption is
+needed anywhere). The trial passes never divide: a slice's size only needs
+each coefficient's *code bit length*, i.e. bitlength(m+1) for the quotient
+m = (|v|<<2) // qf, and that is recovered exactly from precomputed
+(bitlength, normalised-mantissa) forms of the magnitudes and the
+quant_factor table — floor(log2(m4/qf)) comes from a bitlength difference
+plus one normalised uint32 compare, then a single multiply-free
+shift-compare settles whether m+1 is exactly a power of two
+(_sizes_components below). ~3x cheaper per trial than running the
+reciprocal-division quantiser, and bit-identical: tests/test_rdo.py checks
+it against the real quantise+count over adversarial lanes.
+
+The hill climb (which genuinely needs reconstructions, hence divisions) is
+a batched K-step prefix plus a ``lax.while_loop`` for the rare tail.
+Identical decisions to the reference, no per-slice loop.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from vc2tpu.quant.quantiser import (quant_banded, scale_banded,
+from vc2tpu.quant.quantiser import (ABS_QF_I32, banded_aq, expand_bands,
+                                    quant_banded, scale_banded,
                                     signed_vlc_numbits)
+
+# Static sizing tables over the adjusted-quantiser domain [0, 119]:
+# |quant_factor| (as the quantiser's clamped ABS_QF_I32), its bit length,
+# and its mantissa normalised to the uint32 top bit.
+_ABS_QF_U32 = ABS_QF_I32.astype(np.uint32)
+_BL_QF = np.array([int(x).bit_length() for x in _ABS_QF_U32], np.int32)
+_QF_NORM = (_ABS_QF_U32 << (32 - _BL_QF)).astype(np.uint32)
+
+
+def _magnitude_forms(lanes):
+    """Per-coefficient precompute shared by every trial pass: the shifted
+    magnitude m4 = |v|<<2 (the quantiser's numerator), its bit length, and
+    its mantissa normalised to the top bit. int32-exact for |v| < 2^29 —
+    the quantiser's own documented domain."""
+    m4 = (jnp.abs(lanes).astype(jnp.uint32)) << 2
+    s = m4
+    s = s | (s >> 1)
+    s = s | (s >> 2)
+    s = s | (s >> 4)
+    s = s | (s >> 8)
+    s = s | (s >> 16)
+    blm = jnp.asarray(jnp.bitwise_count(s), dtype=jnp.int32)
+    m4n = m4 << (((32 - blm) & 31).astype(jnp.uint32))   # m4=0: unused
+    return m4, blm, m4n
+
+
+def _component_bits_fast(forms, aq_bands, band_sizes):
+    """Truncated VLC bit count of each slice's component at the per-slice
+    adjusted quantisers, without dividing.
+
+    For m = m4 // qf >= 1 the signed interleaved exp-Golomb code costs
+    2*bitlength(m+1) bits (1 bit when m == 0). With e = floor(log2(m4/qf))
+    (exact: bitlength difference + one normalised-mantissa compare),
+    bitlength(m+1) is e+1 unless m+1 == 2^(e+1), settled by the single
+    exact test m4 + qf >= qf << (e+1). Matches
+    signed_vlc_numbits(quant_banded(...)) bit-for-bit (tests/test_rdo.py);
+    mirrors component_slice_bytes (reference Slices.cpp:97-119) including
+    the trailing-zero truncation rule.
+    """
+    m4, blm, m4n = forms
+    qf = expand_bands(jnp.asarray(_ABS_QF_U32)[aq_bands], band_sizes)
+    blq = expand_bands(jnp.asarray(_BL_QF)[aq_bands], band_sizes)
+    qfn = expand_bands(jnp.asarray(_QF_NORM)[aq_bands], band_sizes)
+    e1 = blm - blq + (m4n >= qfn).astype(jnp.int32)      # e + 1
+    sh = jnp.clip(e1, 0, 31).astype(jnp.uint32)
+    pow2 = ((blq + e1) <= 32) & ((m4 + qf) >= (qf << sh))
+    nb = jnp.where(e1 <= 0, 1, 2 * (e1 + pow2.astype(jnp.int32)))
+    L = nb.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(e1 > 0, idx, -1), axis=-1)
+    gross = jnp.sum(nb, axis=-1, dtype=jnp.int32)
+    return gross - (L - 1 - last_nz)
+
+
+def _slice_bytes_fast(q, forms_y, forms_u, forms_v, qm_bands, bs_y, bs_c,
+                      scalar: int):
+    """Scaled byte size of every slice at per-slice quantiser q (n,)."""
+    aq = banded_aq(q, qm_bands)
+
+    def comp(forms, bs):
+        count = _component_bits_fast(forms, aq, bs)
+        return ((count + 7) // 8 + scalar - 1) // scalar * scalar
+
+    return (comp(forms_y, bs_y) + comp(forms_u, bs_c) + comp(forms_v, bs_c))
 
 
 def _component_bytes(lanes, q, qm_bands, band_sizes, scalar: int):
-    """Scaled byte size of each slice's component at per-slice quantiser q.
+    """Reference-shaped sizing through the real quantiser (division path);
+    kept as the equivalence oracle for _component_bits_fast and for
+    callers outside the search hot loop.
 
-    lanes: int32 (N, L) band-contiguous; q: int32 (N,); qm_bands: (B,).
-    Mirrors component_slice_bytes (reference Slices.cpp:97-119) including the
-    trailing-zero truncation rule.
+    Mirrors component_slice_bytes (reference Slices.cpp:97-119) including
+    the trailing-zero truncation rule.
     """
     qlanes = quant_banded(lanes, q, qm_bands, band_sizes)
     nbits = signed_vlc_numbits(qlanes)
-    # trailing-zero truncation rule without a cumsum: every trailing zero is
-    # a 1-bit code (Slices.cpp:97-113)
     L = qlanes.shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)
     last_nz = jnp.max(jnp.where(qlanes != 0, idx, -1), axis=-1)
@@ -69,19 +146,20 @@ def cbr_quant_indices(lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
     """
     available = budgets.astype(jnp.int32) - 4
     n = lanes_y.shape[0]
+    forms = (_magnitude_forms(lanes_y), _magnitude_forms(lanes_u),
+             _magnitude_forms(lanes_v))
     trial = jnp.full((n,), 63, dtype=jnp.int32)
     best = jnp.full((n,), 127, dtype=jnp.int32)
     delta = 64
     while delta > 1:
         delta >>= 1
-        required = _slice_bytes_at(trial, lanes_y, lanes_u, lanes_v,
-                                   qm_bands, bs_y, bs_c, scalar)
+        required = _slice_bytes_fast(trial, *forms, qm_bands, bs_y, bs_c,
+                                     scalar)
         fits = required <= available
         best = jnp.where(fits & (trial < best), trial, best)
         trial = jnp.where(fits, trial - delta, trial + delta)
     # final binary-search iteration (delta reaches 0 after this probe)
-    required = _slice_bytes_at(trial, lanes_y, lanes_u, lanes_v, qm_bands,
-                               bs_y, bs_c, scalar)
+    required = _slice_bytes_fast(trial, *forms, qm_bands, bs_y, bs_c, scalar)
     fits = required <= available
     best = jnp.where(fits & (trial < best), trial, best)
 
