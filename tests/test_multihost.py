@@ -173,3 +173,33 @@ def test_8k_sharded_encode_step(tmp_path):
             cfg.kernel, cfg.wavelet_depth, geo.y_slices, geo.x_slices,
             *geo.luma_slice)
         np.testing.assert_array_equal(np.asarray(ry), ref_y)
+
+    # full 8K mesh STREAM decode (the decode CLI's --mesh path) vs the
+    # single-chip decoder, byte-identical
+    import io
+
+    from vc2tpu.cli.decode_stream import Decoder
+    from vc2tpu.core.config import Profile
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    buf = io.BytesIO()
+    wtr = StreamWriter(buf)
+    wtr.start_sequence()
+    wtr.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=False,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    wtr.write_picture(0, PicturePreamble(
+        wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+        slices_x=senc.geo.x_slices, slices_y=senc.geo.y_slices,
+        slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar),
+        got.payload, hq=True, slice_sizes=got.slice_totals)
+    wtr.end_sequence()
+    stream = buf.getvalue()
+    a, b = io.BytesIO(), io.BytesIO()
+    d0 = Decoder(sink=a)
+    assert d0.run(stream) == 0 and d0.frames_out == 1
+    d1 = Decoder(sink=b, mesh=mesh)
+    assert d1.run(stream) == 0 and d1.frames_out == 1
+    assert b.getvalue() == a.getvalue()

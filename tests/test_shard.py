@@ -145,6 +145,80 @@ def test_sharded_vbr_encode_to_bytes_matches_single_chip():
     assert got[0].payload == want.payload
 
 
+def _hq_stream(cfg, geo, encoded, H, W, fragment_length=0, interlace=False):
+    import io
+
+    from vc2tpu.core.config import Profile
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    buf = io.BytesIO()
+    wtr = StreamWriter(buf)
+    wtr.fragment_length = fragment_length
+    wtr.start_sequence()
+    wtr.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=interlace,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    for i, e in enumerate(encoded):
+        wtr.write_picture(i, PicturePreamble(
+            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+            slices_x=geo.x_slices, slices_y=geo.y_slices,
+            slice_prefix=cfg.slice_prefix,
+            slice_size_scalar=cfg.slice_scalar),
+            e.payload, hq=True, slice_sizes=e.slice_totals)
+    wtr.end_sequence()
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("fragment_length", [0, 512],
+                         ids=["whole", "fragmented"])
+def test_mesh_decode_cli_bit_exact(fragment_length):
+    """End-to-end mesh decode (the decode CLI's --mesh path): stream
+    dispatch -> entropy unpack -> lane scatter -> shard_map synthesis ->
+    format, byte-identical to the single-chip decoder for whole pictures
+    AND reassembled fragments. Reference loop being paralleled:
+    /root/reference/src/DecodeStream/DecodeStream.cpp:205-981."""
+    import io
+
+    from vc2tpu.cli.decode_stream import Decoder
+    from vc2tpu.pipeline.encoder import Encoder
+
+    H, W = 64, 64
+    cfg = _cbr_cfg(H, W)
+    enc = Encoder(cfg)
+    encoded = [enc.encode_picture(p) for p in _frames(3, H, W, seed=11)]
+    stream = _hq_stream(cfg, enc.geo, encoded, H, W, fragment_length)
+
+    ref_sink = io.BytesIO()
+    ref = Decoder(sink=ref_sink)
+    assert ref.run(stream) == 0
+    assert ref.frames_out == 3
+
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink, mesh="1x8")
+    assert dec.run(stream) == 0
+    assert dec.frames_out == 3
+    assert sink.getvalue() == ref_sink.getvalue()
+
+
+def test_mesh_decode_incompatible_geometry_falls_back(capsys):
+    """A stream whose slice rows do not divide over the mesh still decodes
+    bit-exact through the single-chip fallback."""
+    import io
+    import pathlib
+
+    from vc2tpu.cli.decode_stream import Decoder
+
+    golden = pathlib.Path(__file__).resolve().parent / "golden"
+    stream = (golden / "constq_legall_d2.vc2").read_bytes()
+    want = (golden / "constq_legall_d2.dec.16p2").read_bytes()
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink, mesh="1x7")      # 7 never divides y_slices
+    assert dec.run(stream) == 0
+    assert sink.getvalue() == want
+
+
 def test_sharded_stream_decode_bit_exact():
     """8-way sharded decode of an encoded payload == the single-device
     synthesis, exactly (value-verified, not shape-verified)."""

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler trace of the run to DIR "
                         "(view with TensorBoard / xprof)")
+    p.add_argument("--mesh", metavar="DxS", default=None,
+                   help="decode on a DxS device mesh (row-band spatial "
+                        "parallelism over the S axis): entropy unpack on "
+                        "host, lane scatter + halo-exchange synthesis under "
+                        "shard_map, bit-exact vs single-chip")
     return p
 
 
@@ -73,11 +78,29 @@ def _fetch_bytes_estimate(out_geom: PictureGeometry, hdr) -> int:
     return samples * (1 if hdr.bitdepth <= 8 else 2)
 
 
+def _format_words_host(y, c1, c2, bitdepth: int):
+    """Clip + offset-binary + MSB-justify + big-endian format of decoded
+    planes into ONE flat sample-word buffer, exactly as the device tail's
+    fmt() (pipeline/decoder._synthesis_bytes_fn) produces — so the mesh
+    route's bytes are identical to every other route's."""
+    zero = 1 << (bitdepth - 1)
+
+    def fmt(p):
+        v = np.clip(p, -zero, zero - 1) + zero
+        if bitdepth <= 8:
+            return v.astype(np.uint8).ravel()
+        v = (v << (16 - bitdepth)).astype(np.uint16)
+        return ((v << 8) | (v >> 8)).ravel()          # to big-endian
+
+    words = np.concatenate([fmt(y), fmt(c1), fmt(c2)])
+    return words, lambda a: a.tobytes()
+
+
 class Decoder:
     """Stateful stream decoder usable as a library (the CLI drives it)."""
 
     def __init__(self, output: DecOutput = DecOutput.DECODED, verbose=False,
-                 sink=None, route: str | None = None):
+                 sink=None, route: str | None = None, mesh=None):
         self.output = output
         self.verbose = verbose
         self.sink = sink
@@ -110,6 +133,22 @@ class Decoder:
                        if self._route_mode in ("device", "host") else None)
         if self._route != "device" and not host_synth.available():
             self._route = "device"
+        # --mesh DxS: multi-chip row-band synthesis (spatial parallelism
+        # over the ``space`` axis; reference decode loop being paralleled:
+        # /root/reference/src/DecodeStream/DecodeStream.cpp:205-981).
+        # "DxS" string or a ready jax.sharding.Mesh. Built eagerly so a
+        # misconfigured mesh fails fast instead of skipping every picture.
+        self._mesh_obj = None
+        self._sdec_cache: dict = {}
+        if mesh is not None:
+            if isinstance(mesh, str):
+                from vc2tpu.shard.mesh import make_mesh
+
+                d, s = (int(v) for v in mesh.lower().split("x"))
+                self._mesh_obj = make_mesh(data=d, space=s)
+            else:
+                self._mesh_obj = mesh
+            self._route = "mesh"
 
     def log(self, msg):
         if self.verbose:
@@ -255,6 +294,29 @@ class Decoder:
         self._pending.append((words, post))
         self.frame += 1
 
+    # --- multi-chip synthesis (--mesh) ---
+
+    def _sharded_decoder(self, pre, geo):
+        """ShardedDecoder for this preamble's geometry (cached per stream
+        geometry), or None when y_slices does not divide over the mesh's
+        ``space`` axis (single-chip fallback, logged once)."""
+        key = (pre.wavelet_kernel, pre.depth, geo)
+        if key in self._sdec_cache:
+            return self._sdec_cache[key]
+        from vc2tpu.pipeline.sharded import ShardedDecoder
+
+        sdec = None
+        space = self._mesh_obj.shape["space"]
+        if geo.y_slices % space == 0:
+            sdec = ShardedDecoder(pre.wavelet_kernel, pre.depth, geo,
+                                  self._mesh_obj)
+        else:
+            print(f"mesh decode: {geo.y_slices} slice rows do not divide "
+                  f"over {space} shards; using the single-chip route",
+                  file=sys.stderr)
+        self._sdec_cache[key] = sdec
+        return sdec
+
     # --- picture decode core (shared by whole pictures and fragments) ---
 
     def _decode_picture_payload(self, pre, payload: np.ndarray, hq: bool,
@@ -276,7 +338,8 @@ class Decoder:
         self._fused = None
         self._scan_end = None
         if hq:
-            if (self.output == DecOutput.DECODED and self._route != "device"
+            if (self.output == DecOutput.DECODED
+                    and self._route not in ("device", "mesh")
                     and host_synth.available()):
                 # host synthesis route: skip the lane decode — the fused
                 # native tail decodes the payload straight into the
@@ -325,6 +388,18 @@ class Decoder:
             write_picture(self.sink, pic, sig_fmt)
             return
         out_geom = PictureGeometry.of(pic_h, hdr.width, hdr.chroma_format)
+        if hq and self._route == "mesh" and self.output == DecOutput.DECODED:
+            sdec = self._sharded_decoder(pre, geo)
+            if sdec is not None:
+                y, c1, c2 = sdec.synthesise(q_idx, ly, lu, lv)
+                words, post = _format_words_host(
+                    y[:out_geom.luma_height, :out_geom.luma_width],
+                    c1[:out_geom.chroma_height, :out_geom.chroma_width],
+                    c2[:out_geom.chroma_height, :out_geom.chroma_width],
+                    hdr.bitdepth)
+                self._emit_words(words, post)
+                return
+            # geometry incompatible with the mesh: single-chip fallback below
         if hq:
             if self.output == DecOutput.TRANSFORM:
                 pic = synthesise_lanes(ly, lu, lv, q_idx, qmatrix,
@@ -685,11 +760,23 @@ class Decoder:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # The image's axon TPU plugin overrides JAX_PLATFORMS; honour an
+    # explicit platform request (e.g. JAX_PLATFORMS=cpu with a virtual
+    # device mesh) through jax.config.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     # incremental input: memory stays O(one data unit) regardless of stream
     # length (reference DecodeStream.cpp:205 istream loop)
     fp = sys.stdin.buffer if args.inFile == "-" else open(args.inFile, "rb")
     sink = sys.stdout.buffer if args.outFile == "-" else open(args.outFile, "wb")
-    dec = Decoder(output=DecOutput(args.output), verbose=args.verbose, sink=sink)
+    dec = Decoder(output=DecOutput(args.output), verbose=args.verbose,
+                  sink=sink, mesh=args.mesh)
     if args.profile:
         import jax
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import numpy as np
@@ -369,6 +370,17 @@ def run(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # The image's axon TPU plugin overrides JAX_PLATFORMS; honour an
+    # explicit platform request (e.g. JAX_PLATFORMS=cpu with a virtual
+    # device mesh) through jax.config.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     if args.profile:
         import jax
 

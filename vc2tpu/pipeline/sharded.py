@@ -318,6 +318,18 @@ class ShardedDecoder:
         self.lane_spec = NamedSharding(mesh, P(None, "space", None))
         self.q_spec = NamedSharding(mesh, P(None, "space"))
 
+    def synthesise(self, q_idx, ly, lu, lv):
+        """Entropy-decoded lanes -> (y, c1, c2) padded planes (np): scatter
+        across the ``space`` ring, dequant + halo IDWT under shard_map."""
+        with self.mesh:
+            y, c1, c2 = self.step(
+                jax.device_put(np.asarray(q_idx, np.int32)[None],
+                               self.q_spec),
+                jax.device_put(np.asarray(ly, np.int32)[None], self.lane_spec),
+                jax.device_put(np.asarray(lu, np.int32)[None], self.lane_spec),
+                jax.device_put(np.asarray(lv, np.int32)[None], self.lane_spec))
+        return np.asarray(y)[0], np.asarray(c1)[0], np.asarray(c2)[0]
+
     def decode_payload(self, payload: np.ndarray, prefix: int, scalar: int,
                        start: int = 0):
         """One picture's slice payload -> (y, c1, c2) padded planes (np)."""
@@ -329,11 +341,4 @@ class ShardedDecoder:
         data = decode_hq_slices(payload, geo.n_slices, prefix, scalar,
                                 (Ly, Lc, Lc), start=start)
         ly, lu, lv = data.lanes
-        with self.mesh:
-            y, c1, c2 = self.step(
-                jax.device_put(np.asarray(data.q_indices, np.int32)[None],
-                               self.q_spec),
-                jax.device_put(np.asarray(ly, np.int32)[None], self.lane_spec),
-                jax.device_put(np.asarray(lu, np.int32)[None], self.lane_spec),
-                jax.device_put(np.asarray(lv, np.int32)[None], self.lane_spec))
-        return np.asarray(y)[0], np.asarray(c1)[0], np.asarray(c2)[0]
+        return self.synthesise(data.q_indices, ly, lu, lv)
