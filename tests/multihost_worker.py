@@ -79,6 +79,32 @@ def main():
         wtr.end_sequence()
         with open(outfile, "wb") as f:
             f.write(buf.getvalue())
+
+    # fragment-streaming leg: process 0 frames + writes each shard's
+    # payload span incrementally (multihost.stream_fragments); every
+    # process participates in the dispatch + DCN gather
+    geo = enc.enc.geo
+    pre = PicturePreamble(
+        wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+        slices_x=geo.x_slices, slices_y=geo.y_slices,
+        slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar)
+    buf2 = io.BytesIO()
+    wtr2 = StreamWriter(buf2)
+    wtr2.fragment_length = 256
+    wtr2.start_sequence()
+    if pid == 0:
+        wtr2.write_sequence_header(SequenceHeader(
+            profile=Profile.PROFILE_HQ, height=H, width=W,
+            chroma_format=cfg.chroma_format, interlace=False,
+            frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    qs = enc.stream_fragments(local, wtr2, list(range(n_procs)), pre)
+    if pid == 0:
+        assert qs is not None and len(qs) == n_procs
+        wtr2.end_sequence()
+        with open(outfile + ".frag", "wb") as f:
+            f.write(buf2.getvalue())
+    else:
+        assert qs is None
     print(f"worker {pid} done", flush=True)
 
 

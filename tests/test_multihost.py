@@ -90,6 +90,26 @@ def test_two_process_encode_byte_identical(tmp_path):
     wtr.end_sequence()
     assert open(out, "rb").read() == buf.getvalue()
 
+    # fragment-streaming leg: host-0 span-by-span emission must equal the
+    # single-chip fragmented writer byte-for-byte
+    fbuf = io.BytesIO()
+    fwtr = StreamWriter(fbuf)
+    fwtr.fragment_length = 256
+    fwtr.start_sequence()
+    fwtr.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=False,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    for i, e in enumerate(encoded):
+        fwtr.write_picture(i, PicturePreamble(
+            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+            slices_x=enc.geo.x_slices, slices_y=enc.geo.y_slices,
+            slice_prefix=cfg.slice_prefix,
+            slice_size_scalar=cfg.slice_scalar),
+            e.payload, hq=True, slice_sizes=e.slice_totals)
+    fwtr.end_sequence()
+    assert open(out + ".frag", "rb").read() == fbuf.getvalue()
+
 
 def test_scaling_harness_smoke():
     """scaling_efficiency runs end-to-end on a virtual mesh and returns a

@@ -171,6 +171,81 @@ def _hq_stream(cfg, geo, encoded, H, W, fragment_length=0, interlace=False):
     return buf.getvalue()
 
 
+@pytest.mark.parametrize("mode", ["cbr", "vbr"])
+def test_fragment_streaming_matches_batch(mode):
+    """encode_batch_to_fragments (per-shard span emission through
+    FragmentWriter) must produce the byte-identical stream to framing the
+    batch-assembled payload, for the exact-budget CBR pack and the
+    adaptive-bucket VBR pack."""
+    import io
+
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, Profile)
+    from vc2tpu.pipeline.sharded import ShardedEncoder
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    mesh = make_mesh(data=2, space=4)
+    H, W = 64, 64
+    if mode == "cbr":
+        cfg = _cbr_cfg(H, W)
+    else:
+        cfg = EncoderConfig(height=H, width=W,
+                            chroma_format=ColourFormat.CF422,
+                            kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                            y_size=1, x_size=2, mode=Mode.HQ_ConstQ,
+                            luma_depth=10, chroma_depth=10,
+                            frame_rate=FrameRate.FR25, q_index=20)
+    pics = _frames(2, H, W, seed=13)
+    senc = ShardedEncoder(cfg, mesh)
+    pre = PicturePreamble(
+        wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+        slices_x=senc.geo.x_slices, slices_y=senc.geo.y_slices,
+        slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar)
+    hdr = SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=False,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10)
+
+    def seq(writer):
+        writer.fragment_length = 300
+        writer.start_sequence()
+        writer.write_sequence_header(hdr)
+
+    sbuf = io.BytesIO()
+    swtr = StreamWriter(sbuf)
+    seq(swtr)
+    qs = senc.encode_batch_to_fragments(pics, swtr, [0, 1], pre)
+    swtr.end_sequence()
+
+    bbuf = io.BytesIO()
+    bwtr = StreamWriter(bbuf)
+    seq(bwtr)
+    batch = senc.encode_batch(pics)
+    for i, e in enumerate(batch):
+        bwtr.write_picture(i, pre, e.payload, hq=True,
+                           slice_sizes=e.slice_totals)
+    bwtr.end_sequence()
+    assert sbuf.getvalue() == bbuf.getvalue()
+    for q, e in zip(qs, batch):
+        np.testing.assert_array_equal(q, e.q_indices)
+
+
+def test_fragment_streaming_cli_byte_identical(tmp_path):
+    """--mesh with -F drives the streaming fragment path behind the CLI;
+    bytes must equal the reference encoder's fragmented output."""
+    import os
+
+    from tests.test_golden import CASES, GOLDEN, _encode_args, _run_encode
+
+    case, inp, extra = next(c for c in CASES if c[0] == "cbr_fragmented")
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "out.vc2")
+    _run_encode(_encode_args(case, inp, extra) + ["--mesh", "1x8"], src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    assert open(out, "rb").read() == ref
+
+
 @pytest.mark.parametrize("fragment_length", [0, 512],
                          ids=["whole", "fragmented"])
 def test_mesh_decode_cli_bit_exact(fragment_length):

@@ -186,6 +186,28 @@ class _ShardedAdapter:
     def encode_picture(self, picture, keep_planes=False):
         return self.encode_picture_async(picture)()
 
+    # -- streaming fragment mode (-F with --mesh): each shard's payload
+    # span is framed and written as its device buffer lands --
+
+    def stream_picture(self, writer, picture_number, pre, picture):
+        self._frag_batch = getattr(self, "_frag_batch", [])
+        self.q_log = getattr(self, "q_log", [])
+        self._frag_batch.append((picture_number, pre, picture))
+        if len(self._frag_batch) >= self.data:
+            self.flush_stream(writer)
+
+    def flush_stream(self, writer):
+        batch = getattr(self, "_frag_batch", [])
+        if not batch:
+            return
+        nums = [n for n, _, _ in batch]
+        pics = [p for _, _, p in batch]
+        pad = self.data - len(pics)
+        qs = self.impl.encode_batch_to_fragments(
+            pics + [pics[-1]] * pad, writer, nums, batch[0][1])
+        self.q_log.extend(q.ravel() for q in qs)
+        self._frag_batch = []
+
 
 def run(args) -> int:
     cfg = config_from_args(args)
@@ -237,6 +259,11 @@ def run(args) -> int:
     # dispatch overlap the previous picture's device work + fetch
     can_pipeline = (output == EncOutput.STREAM and not keep_planes
                     and hasattr(encoder, "encode_picture_async"))
+    # --mesh with -F: stream each shard's span as a fragment the moment its
+    # buffer lands (pipeline.sharded.encode_batch_to_fragments) instead of
+    # assembling whole-picture payloads first
+    stream_frags = (args.mesh is not None and output == EncOutput.STREAM
+                    and writer.fragment_length > 0)
     from collections import deque
 
     pending = deque()           # FIFO of (picture_number, preamble, handle)
@@ -275,7 +302,7 @@ def run(args) -> int:
                            else in_frame.second_field(cfg.top_field_first))
             else:
                 picture = in_frame
-            if can_pipeline:
+            if can_pipeline or stream_frags:
                 picture_number = intmath.picture_number(pic_i, frame,
                                                         frame_pics)
                 pre = PicturePreamble(
@@ -283,6 +310,10 @@ def run(args) -> int:
                     slices_x=geo.x_slices, slices_y=geo.y_slices,
                     slice_prefix=cfg.slice_prefix,
                     slice_size_scalar=cfg.slice_scalar)
+                if stream_frags:
+                    encoder.stream_picture(writer, picture_number, pre,
+                                           picture)
+                    continue
                 pending.append((picture_number, pre,
                                 encoder.encode_picture_async(picture)))
                 while len(pending) > pipe_depth:
@@ -353,6 +384,9 @@ def run(args) -> int:
         all_q_indices.extend(frame_q_indices)
         frame += 1
     flush_pending()
+    if stream_frags:
+        encoder.flush_stream(writer)
+        all_q_indices.extend(getattr(encoder, "q_log", []))
     if verbose and output != EncOutput.TRANSFORM and all_q_indices:
         qi = np.concatenate(all_q_indices).astype(np.float64)
         mean = float(qi.mean())

@@ -12,13 +12,15 @@ Decomposition (SURVEY.md §2 parallelism table):
 The whole encode step, *including the on-device entropy pack*
 (vlc.device_pack.pack_hq_core per shard), runs under one shard_map in the
 Mallat band form. Each shard's slice run is contiguous in the picture's
-raster slice order, so its locally-assembled payload is a contiguous span of
-the final stream: the host driver (ShardedEncoder) just concatenates the
-per-shard payloads and hands them to the ordinary StreamWriter — whole
-pictures or fragments (one-fragment-per-shard streaming included), byte
-identical to the single-chip encoder. Reference path being paralleled:
-/root/reference/src/Library/src/Slices.cpp:662-694 (slice serialisation
-loop) + src/DataUnit.cpp:267-342 (fragment framing).
+raster slice order, so its locally-assembled payload is a contiguous span
+of the final stream. Two host drivers consume it: encode_batch
+concatenates the per-shard payloads into EncodedPictures for the ordinary
+StreamWriter, and encode_batch_to_fragments STREAMS fragment data units
+incrementally — each shard's span is framed and written as its buffer
+lands on the host (heads validated first, so retries precede any output),
+byte-identical to framing the assembled payload. Reference path being
+paralleled: /root/reference/src/Library/src/Slices.cpp:662-694 (slice
+serialisation loop) + src/DataUnit.cpp:267-342 (fragment framing).
 
 The decode side (ShardedDecoder / make_sharded_decode_step) scatters
 entropy-decoded lanes to shards and runs dequant + halo-exchange synthesis
@@ -169,10 +171,7 @@ class ShardedEncoder:
             return plane
         return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
-    def encode_batch(self, pictures):
-        """Encode a batch of Pictures (len divisible by the ``data`` extent).
-        Returns a list of (q_indices (ys, xs), payload bytes, slice_totals)
-        EncodedPicture objects, identical to Encoder.encode_picture's."""
+    def _prep(self, pictures):
         geo = self.geo
         B = len(pictures)
         y = np.stack([self._pad(np.asarray(p.y, np.int32), geo.padded_luma)
@@ -186,14 +185,24 @@ class ShardedEncoder:
         else:
             budgets = np.zeros(geo.n_slices, np.int32)
         bud = np.tile(budgets[None, :], (B, 1))
+        return y, c1, c2, bud
+
+    def _run_step(self, y, c1, c2, bud):
+        with self.mesh:
+            return self.step(
+                jax.device_put(y, self.plane_spec),
+                jax.device_put(c1, self.plane_spec),
+                jax.device_put(c2, self.plane_spec),
+                jax.device_put(bud, NamedSharding(self.mesh,
+                                                  P("data", "space"))))
+
+    def encode_batch(self, pictures):
+        """Encode a batch of Pictures (len divisible by the ``data`` extent).
+        Returns a list of (q_indices (ys, xs), payload bytes, slice_totals)
+        EncodedPicture objects, identical to Encoder.encode_picture's."""
+        y, c1, c2, bud = self._prep(pictures)
         while True:
-            with self.mesh:
-                q_idx, bufs = self.step(
-                    jax.device_put(y, self.plane_spec),
-                    jax.device_put(c1, self.plane_spec),
-                    jax.device_put(c2, self.plane_spec),
-                    jax.device_put(bud, NamedSharding(self.mesh,
-                                                      P("data", "space"))))
+            q_idx, bufs = self._run_step(y, c1, c2, bud)
             out, retry = self._assemble(np.asarray(q_idx), np.asarray(bufs),
                                         pictures)
             if not retry:
@@ -258,10 +267,109 @@ class ShardedEncoder:
                 slice_totals=np.concatenate(totals_all)))
         return out, None
 
-    def shard_slice_counts(self):
-        """(first_slice_index, n_slices) per shard — the natural
-        one-fragment-per-shard boundaries for streaming multi-host output."""
-        return [(s * self.n_loc, self.n_loc) for s in range(self.space)]
+    # ---- streaming fragment emission ----------------------------------
+
+    def _check_heads(self, heads):
+        """Validate the per-shard result heads (flags / q / totals) BEFORE
+        any stream byte is written. Returns (retry, fallback_pictures):
+        retry = (cap_local, w32) to rebuild with, or None; fallback is the
+        set of batch indices needing the single-chip host path."""
+        fallback = set()
+        for b, row in enumerate(heads):
+            for flags, q_l, totals in row:
+                if flags & device_pack.FLAG_W32:
+                    w32_max = (self.cfg.slice_prefix + 4
+                               + 3 * 255 * self.cfg.slice_scalar + 3) // 4
+                    if self.w32 < w32_max:
+                        return (self.cap_local,
+                                min(self.w32 * 2, w32_max)), None
+                    fallback.add(b)
+                    continue
+                total = int(totals.sum(dtype=np.int64))
+                if total > self.cap_local:
+                    return (1 << int(np.ceil(np.log2(total))), self.w32), None
+                if flags & device_pack.FLAG_CODE_OVERFLOW:
+                    fallback.add(b)
+                    continue
+                if flags & device_pack.FLAG_CBR_FIT:
+                    raise ValueError(
+                        "SliceIO, HQ CBR mode: Too many bytes for the slice")
+                if flags & device_pack.FLAG_SCALAR:
+                    raise ValueError(
+                        "Slice scalar is too small, consider using a larger "
+                        "slice scalar.")
+                if (np.asarray(q_l) > MAX_QINDEX).any():
+                    raise ValueError(
+                        "quantization index exceeds maximum implemented "
+                        "value.")
+        return None, fallback
+
+    def encode_batch_to_fragments(self, pictures, writer, picture_numbers,
+                                  preamble):
+        """Run the sharded encode step and stream every picture out as
+        fragment data units, feeding each shard's contiguous payload span
+        to a FragmentWriter as that shard's buffer lands on the host: the
+        small per-shard heads (flags / q / totals) are fetched and
+        validated first, so capacity retries and host fallbacks happen
+        before any byte reaches the stream, then each payload span is
+        fetched in shard order and framed immediately — fragments stream
+        out while later shards' device->host copies are still in flight.
+        Byte-identical to write_picture over the assembled payload
+        (reference framing: /root/reference/src/Library/src/
+        DataUnit.cpp:267-342)."""
+        y, c1, c2, bud = self._prep(pictures)
+        while True:
+            q_idx, bufs = self._run_step(y, c1, c2, bud)
+            heads, head, seg = self._fetch_heads(bufs, len(pictures))
+            retry, fallback = self._check_heads(heads)
+            if retry is None:
+                break
+            self._build(retry[0], retry[1])
+        return self._stream_payloads(writer, bufs, heads, head, seg,
+                                     fallback, picture_numbers, preamble,
+                                     pictures)
+
+    def _fetch_heads(self, bufs, B):
+        """Per-(picture, shard) (flags, q, totals) heads — a few KB of
+        fetches; ``bufs`` indexes as (B, space*seg) device or host array."""
+        head = device_pack.head_bytes(self.n_loc)
+        seg = head + self.cap_local
+        heads = [[device_pack.unpack_result(
+            np.asarray(bufs[b, s * seg:s * seg + head]), self.n_loc)[:3]
+            for s in range(self.space)] for b in range(B)]
+        return heads, head, seg
+
+    def _stream_payloads(self, writer, bufs, heads, head, seg, fallback,
+                         picture_numbers, preamble, pictures):
+        """Frame + write each picture's fragments, fetching one shard's
+        payload span at a time. Returns per-picture q-index arrays."""
+        geo = self.geo
+        q_out = []
+        for b, picnum in enumerate(picture_numbers):
+            fw = writer.begin_fragments(picnum, preamble, hq=True)
+            if b in fallback:
+                # oversized codes: exact single-chip host path (rare)
+                from vc2tpu.pipeline.encoder import Encoder
+
+                if pictures is None:
+                    raise ValueError(
+                        "oversized exp-Golomb code in multi-host encode; "
+                        "no local pixel data for the host fallback")
+                enc = Encoder(self.cfg).encode_picture(pictures[b])
+                fw.feed(enc.slice_totals, enc.payload)
+                q_out.append(enc.q_indices)
+            else:
+                for s in range(self.space):
+                    totals = heads[b][s][2]
+                    total = int(totals.sum(dtype=np.int64))
+                    span = np.asarray(
+                        bufs[b, s * seg + head:s * seg + head + total])
+                    fw.feed(totals, span.tobytes())
+                q_out.append(np.concatenate(
+                    [np.asarray(heads[b][s][1]) for s in range(self.space)]
+                ).reshape(geo.y_slices, geo.x_slices))
+            fw.close()
+        return q_out
 
 
 def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh,

@@ -14,8 +14,11 @@ Each process contributes its local devices; the sharded encode step
 (pipeline.sharded) runs identically to the single-process case — the only
 multi-host-specific machinery is (a) jax.distributed initialisation, (b)
 building global arrays from per-process frame data, and (c) gathering the
-per-shard payload buffers so process 0 can assemble the byte stream
-(fragments naturally map one data unit per shard for streaming output).
+per-shard payload buffers over DCN so process 0 can emit the byte stream:
+either assembled whole pictures (encode_local_batch) or fragment data
+units streamed span-by-span as stream_fragments walks the gathered
+shard buffers (FragmentWriter — bounded buffering, no full-payload
+assembly).
 
 Validated without TPU pods by the multiprocess CPU harness in
 tests/test_multihost.py (N processes x M virtual CPU devices each), which
@@ -74,10 +77,9 @@ class MultiHostEncoder:
         self.cfg = cfg
         self.mesh = mesh
 
-    def encode_local_batch(self, pictures):
-        """pictures: this process's frames (B/data of them, the mesh-row
-        block owned by this process). Returns EncodedPicture list for the
-        GLOBAL batch, identical on every process."""
+    def _dispatch_global(self, pictures):
+        """Run the sharded step on this process's frames; returns the
+        global (q_idx, bufs) device arrays."""
         from jax.experimental import multihost_utils
 
         enc = self.enc
@@ -92,8 +94,7 @@ class MultiHostEncoder:
             budgets = enc.slice_budgets.ravel().astype(np.int32)
         else:
             budgets = np.zeros(geo.n_slices, np.int32)
-        B_local = len(pictures)
-        bud = np.tile(budgets[None, :], (B_local, 1))
+        bud = np.tile(budgets[None, :], (len(pictures), 1))
         gy = multihost_utils.host_local_array_to_global_array(
             y, self.mesh, P("data", "space", None))
         gc1 = multihost_utils.host_local_array_to_global_array(
@@ -103,7 +104,16 @@ class MultiHostEncoder:
         gbud = multihost_utils.host_local_array_to_global_array(
             bud, self.mesh, P("data", "space"))
         with self.mesh:
-            q_idx, bufs = enc.step(gy, gc1, gc2, gbud)
+            return enc.step(gy, gc1, gc2, gbud)
+
+    def encode_local_batch(self, pictures):
+        """pictures: this process's frames (B/data of them, the mesh-row
+        block owned by this process). Returns EncodedPicture list for the
+        GLOBAL batch, identical on every process."""
+        from jax.experimental import multihost_utils
+
+        enc = self.enc
+        q_idx, bufs = self._dispatch_global(pictures)
         # DCN gather: every process receives the full (B, space*M) buffers
         q_all = multihost_utils.process_allgather(q_idx, tiled=True)
         bufs_all = multihost_utils.process_allgather(bufs, tiled=True)
@@ -114,6 +124,36 @@ class MultiHostEncoder:
                 "payload capacity miss in multi-host encode; raise cap_local "
                 f"(need {retry})")
         return out
+
+    def stream_fragments(self, pictures, writer, picture_numbers, preamble):
+        """Fragment-streaming multi-host output: run the global step,
+        gather the per-shard buffers over DCN (one allgather — the
+        transport granularity), and on process 0 frame + write each
+        shard's payload span incrementally through FragmentWriter — no
+        full-picture payload is ever assembled. picture_numbers cover the
+        GLOBAL batch (data-axis order). Returns per-picture q arrays on
+        process 0, None elsewhere; bytes are identical to the single-chip
+        fragmented writer (reference framing: /root/reference/src/Library/
+        src/DataUnit.cpp:267-342)."""
+        import jax
+
+        from jax.experimental import multihost_utils
+
+        enc = self.enc
+        _, bufs = self._dispatch_global(pictures)
+        bufs_np = np.asarray(
+            multihost_utils.process_allgather(bufs, tiled=True))
+        heads, head, seg = enc._fetch_heads(bufs_np, bufs_np.shape[0])
+        retry, fallback = enc._check_heads(heads)
+        if retry is not None:
+            raise ValueError(
+                "payload capacity miss in multi-host encode; raise "
+                f"cap_local (need {retry})")
+        if jax.process_index() != 0:
+            return None
+        return enc._stream_payloads(writer, bufs_np, heads, head, seg,
+                                    fallback, picture_numbers, preamble,
+                                    None)
 
 
 def scaling_efficiency(cfg: EncoderConfig, mesh: Mesh, n_frames: int = 4,

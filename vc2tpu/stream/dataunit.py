@@ -139,51 +139,22 @@ class StreamWriter:
         DataUnit.cpp:125-343). ``slice_sizes`` (flat per-slice byte sizes in
         raster order) is required for fragmented output."""
         du = DataUnitType.HQ_PICTURE if hq else DataUnitType.LD_PICTURE
-        frag_du = DataUnitType.HQ_FRAGMENT if hq else DataUnitType.LD_FRAGMENT
         if self.fragment_length == 0:
             params = self._transform_params(preamble, hq, force_asym_flags=False)
             body = picture_number.to_bytes(4, "big") + params + slice_payload
             self._parse_info(du, len(body))
             self.f.write(body)
             return
-        # fragmented output: first fragment carries the transform params
-        params = self._transform_params(preamble, hq, force_asym_flags=True)
-        head = (picture_number.to_bytes(4, "big")
-                + len(params).to_bytes(2, "big") + (0).to_bytes(2, "big"))
-        self._parse_info(frag_du, len(params) + 8)
-        self.f.write(head + params)
         assert slice_sizes is not None, "fragmented output needs per-slice sizes"
-        slices_x = preamble.slices_x
-        offsets = []
-        pos = 0
-        for size in slice_sizes:
-            offsets.append((pos, int(size)))
-            pos += int(size)
-        idx = 0
-        frag_start_idx = 0
-        frag_bytes = 0
-        n = len(offsets)
+        fw = self.begin_fragments(picture_number, preamble, hq)
+        fw.feed(slice_sizes, slice_payload)
+        fw.close()
 
-        def emit(first_idx: int, count: int, nbytes: int, start_pos: int) -> None:
-            sy, sx = divmod(first_idx, slices_x)
-            body = (picture_number.to_bytes(4, "big")
-                    + nbytes.to_bytes(2, "big") + count.to_bytes(2, "big")
-                    + sx.to_bytes(2, "big") + sy.to_bytes(2, "big")
-                    + slice_payload[start_pos:start_pos + nbytes])
-            self._parse_info(frag_du, nbytes + 12)
-            self.f.write(body)
-
-        frag_start_pos = 0
-        while idx < n:
-            size = offsets[idx][1]
-            if idx > frag_start_idx and frag_bytes + size > self.fragment_length:
-                emit(frag_start_idx, idx - frag_start_idx, frag_bytes, frag_start_pos)
-                frag_start_idx = idx
-                frag_start_pos = offsets[idx][0]
-                frag_bytes = 0
-            frag_bytes += size
-            idx += 1
-        emit(frag_start_idx, n - frag_start_idx, frag_bytes, frag_start_pos)
+    def begin_fragments(self, picture_number: int, preamble: PicturePreamble,
+                        hq: bool) -> "FragmentWriter":
+        """Start a fragment series for one picture: writes the transform-
+        params fragment and returns the incremental FragmentWriter."""
+        return FragmentWriter(self, picture_number, preamble, hq)
 
     def write_padding(self, nbytes: int) -> None:
         self._parse_info(DataUnitType.PADDING_DATA, nbytes)
@@ -192,6 +163,80 @@ class StreamWriter:
     def write_auxiliary(self, data: bytes) -> None:
         self._parse_info(DataUnitType.AUXILIARY_DATA, len(data))
         self.f.write(data)
+
+
+class FragmentWriter:
+    """Incremental fragment emission for ONE picture (reference fragment
+    framing: /root/reference/src/Library/src/DataUnit.cpp:267-342).
+
+    feed() accepts contiguous (slice_sizes, payload) spans in raster order
+    — e.g. one span per mesh shard as its device buffer lands — and writes
+    every fragment data unit the moment it completes, holding back only
+    the open fragment that may continue into the next span. The greedy
+    cut (as many whole slices as fit in fragment_length, at least one per
+    fragment) is the reference's, so the stream is byte-identical to
+    framing the fully assembled payload; buffering is bounded by one
+    fragment regardless of picture size."""
+
+    def __init__(self, writer: StreamWriter, picture_number: int,
+                 preamble: PicturePreamble, hq: bool) -> None:
+        self.w = writer
+        self.pic = picture_number
+        self.slices_x = preamble.slices_x
+        self.frag_du = (DataUnitType.HQ_FRAGMENT if hq
+                        else DataUnitType.LD_FRAGMENT)
+        # first fragment: transform params, slice count 0
+        params = writer._transform_params(preamble, hq, force_asym_flags=True)
+        head = (picture_number.to_bytes(4, "big")
+                + len(params).to_bytes(2, "big") + (0).to_bytes(2, "big"))
+        writer._parse_info(self.frag_du, len(params) + 8)
+        writer.f.write(head + params)
+        self._first = 0              # first slice index of the open fragment
+        self._count = 0              # slices in the open fragment
+        self._chunks: list[bytes] = []
+        self._bytes = 0
+        self._next = 0               # next slice index expected by feed()
+        self._closed = False
+
+    def _emit(self) -> None:
+        sy, sx = divmod(self._first, self.slices_x)
+        body = (self.pic.to_bytes(4, "big")
+                + self._bytes.to_bytes(2, "big")
+                + self._count.to_bytes(2, "big")
+                + sx.to_bytes(2, "big") + sy.to_bytes(2, "big")
+                + b"".join(self._chunks))
+        self.w._parse_info(self.frag_du, self._bytes + 12)
+        self.w.f.write(body)
+        self._first = self._next
+        self._count = 0
+        self._chunks = []
+        self._bytes = 0
+
+    def feed(self, slice_sizes, payload) -> None:
+        """Append the next run of slices (sizes + their contiguous payload
+        bytes, raster order); completed fragments are written immediately."""
+        payload = bytes(payload)
+        pos = 0
+        limit = self.w.fragment_length
+        for size in slice_sizes:
+            size = int(size)
+            if self._count and self._bytes + size > limit:
+                self._emit()
+            self._chunks.append(payload[pos:pos + size])
+            self._bytes += size
+            self._count += 1
+            self._next += 1
+            pos += size
+        if pos != len(payload):
+            raise ValueError(f"fragment span: {len(payload)} payload bytes "
+                             f"but slice sizes sum to {pos}")
+
+    def close(self) -> None:
+        """Flush the final fragment (the reference always emits one, even
+        for an empty slice run)."""
+        if not self._closed:
+            self._emit()
+            self._closed = True
 
 
 class StreamReader:
