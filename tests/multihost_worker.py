@@ -105,6 +105,40 @@ def main():
             f.write(buf2.getvalue())
     else:
         assert qs is None
+
+    # multi-host DECODE leg: every process parses the same fragmented
+    # stream (built locally from the identical encoded batch), decodes its
+    # round-robin picture block row-band-sharded over its local devices,
+    # and process 0 gathers + writes the planar output
+    from vc2tpu.cli.decode_stream import _format_words_host
+    from vc2tpu.shard.multihost import MultiHostDecoder, collect_hq_payloads
+
+    fbuf = io.BytesIO()
+    fwtr = StreamWriter(fbuf)
+    fwtr.fragment_length = 256
+    fwtr.start_sequence()
+    fwtr.write_sequence_header(SequenceHeader(
+        profile=Profile.PROFILE_HQ, height=H, width=W,
+        chroma_format=cfg.chroma_format, interlace=False,
+        frame_rate=cfg.frame_rate, top_field_first=True, bitdepth=10))
+    for i, e in enumerate(encoded):
+        fwtr.write_picture(i, pre, e.payload, hq=True,
+                           slice_sizes=e.slice_totals)
+    fwtr.end_sequence()
+    hdr2, items = collect_hq_payloads(fbuf.getvalue())
+    assert hdr2 is not None and len(items) == n_procs
+
+    dec = MultiHostDecoder(cfg.kernel, cfg.wavelet_depth, geo, space=4)
+    frames_out = dec.decode_pictures(
+        [(p, pl) for (p, _pre, pl) in items],
+        cfg.slice_prefix, cfg.slice_scalar, (H, W), (H, W // 2))
+    if pid == 0:
+        with open(outfile + ".dec", "wb") as f:
+            for (y, c1, c2) in frames_out:
+                words, post = _format_words_host(y, c1, c2, 10)
+                f.write(post(words))
+    else:
+        assert frames_out is None
     print(f"worker {pid} done", flush=True)
 
 

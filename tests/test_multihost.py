@@ -110,6 +110,46 @@ def test_two_process_encode_byte_identical(tmp_path):
     fwtr.end_sequence()
     assert open(out + ".frag", "rb").read() == fbuf.getvalue()
 
+    # multi-host decode leg: N-process round-robin sharded synthesis of
+    # the fragmented stream must equal the single-chip decoder bit-exact
+    from vc2tpu.cli.decode_stream import Decoder
+
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(fbuf.getvalue()) == 0
+    assert dec.frames_out == n
+    assert open(out + ".dec", "rb").read() == sink.getvalue()
+
+
+def test_collect_hq_payloads_matches_fragment_reassembly():
+    """The multi-host decode front-end (collect_hq_payloads) reassembles
+    fragments exactly: rebuilding a whole-picture stream from its output
+    decodes bit-identical to the fragmented golden."""
+    import io
+
+    from vc2tpu.cli.decode_stream import Decoder
+    from vc2tpu.shard.multihost import collect_hq_payloads
+    from vc2tpu.stream.dataunit import StreamWriter
+
+    golden = os.path.join(HERE, "golden")
+    stream = open(os.path.join(golden, "cbr_fragmented.vc2"), "rb").read()
+    want = open(os.path.join(golden, "cbr_fragmented.dec.16p2"), "rb").read()
+    hdr, items = collect_hq_payloads(stream)
+    assert hdr is not None and items
+
+    buf = io.BytesIO()
+    wtr = StreamWriter(buf)
+    wtr.start_sequence()
+    wtr.write_sequence_header(hdr)
+    for picnum, pre, payload in items:
+        wtr.write_picture(picnum, pre, payload.tobytes(), hq=True)
+    wtr.end_sequence()
+
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(buf.getvalue()) == 0
+    assert sink.getvalue() == want
+
 
 def test_scaling_harness_smoke():
     """scaling_efficiency runs end-to-end on a virtual mesh and returns a

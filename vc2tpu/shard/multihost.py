@@ -156,6 +156,125 @@ class MultiHostEncoder:
                                     None)
 
 
+def collect_hq_payloads(stream: bytes):
+    """Parse a well-formed HQ stream into (sequence_header, [(picture
+    number, preamble, payload bytes)]) — whole pictures and reassembled
+    fragments (the reference's FragmentedPictureData reassembly,
+    /root/reference/src/DecodeStream/DecodeStream.cpp:62-101, 799-976).
+
+    This is the multi-host decode front-end: every process parses the
+    stream identically (stream bytes are ~2 orders of magnitude smaller
+    than pixels, so replicating the parse costs nothing) and then
+    synthesises only its own block. Resilience-hardened parsing (resync,
+    lying offsets, corrupt slices) lives in cli.decode_stream; this helper
+    requires valid next_parse_offsets."""
+    from vc2tpu.stream.dataunit import DataUnitType, StreamReader
+
+    rd = StreamReader(stream)
+    hdr = None
+    out = []
+    frags: dict = {}
+    pos = 0
+    while pos + 13 <= len(stream):
+        rd.r.seek(pos)
+        du, next_off, _prev = rd.read_data_unit()
+        if du == DataUnitType.SEQUENCE_HEADER:
+            hdr = rd.read_sequence_header()
+        elif du == DataUnitType.HQ_PICTURE:
+            picnum = rd.read_picture_number()
+            pre = rd.read_preamble(True)
+            end = pos + next_off if next_off >= 13 else len(stream)
+            out.append((picnum, pre,
+                        np.frombuffer(stream[rd.r.byte_pos:end], np.uint8)))
+        elif du == DataUnitType.HQ_FRAGMENT:
+            picnum = rd.read_picture_number()
+            frag = rd.read_fragment_header()
+            if frag.n_slices == 0:
+                frags[picnum] = (rd.read_preamble(True), {}, 0)
+            elif picnum in frags:
+                pre, parts, cnt = frags[picnum]
+                body = rd.r.get_raw(frag.data_length)
+                first = (frag.slice_offset_y * pre.slices_x
+                         + frag.slice_offset_x)
+                parts[first] = body
+                cnt += frag.n_slices
+                if cnt >= pre.slices_x * pre.slices_y:
+                    payload = b"".join(p for _, p in sorted(parts.items()))
+                    out.append((picnum, pre,
+                                np.frombuffer(payload, np.uint8)))
+                    del frags[picnum]
+                else:
+                    frags[picnum] = (pre, parts, cnt)
+        if next_off >= 13:
+            pos += next_off
+        elif du == DataUnitType.END_OF_SEQUENCE:
+            pos += 13
+        else:
+            break                      # this helper needs valid offsets
+    return hdr, out
+
+
+class MultiHostDecoder:
+    """Frame-parallel multi-host HQ decode: pictures are partitioned
+    round-robin over processes, each process entropy-unpacks and
+    synthesises its block row-band-sharded over its LOCAL ``space``
+    devices (ICI halo rings), and process 0 gathers the cropped planes
+    over DCN for in-order planar output — the multi-host analogue of the
+    reference decode tail + fragment reassembly
+    (/root/reference/src/DecodeStream/DecodeStream.cpp:799-976)."""
+
+    def __init__(self, kernel, depth: int, geo, space: int | None = None):
+        import jax
+
+        from vc2tpu.pipeline.sharded import ShardedDecoder
+
+        local = jax.local_devices()
+        space = space if space is not None else len(local)
+        lmesh = Mesh(np.array(local[:space]).reshape(1, space),
+                     ("data", "space"))
+        self.sdec = ShardedDecoder(kernel, depth, geo, lmesh)
+        self.geo = geo
+
+    def decode_pictures(self, items, prefix: int, scalar: int,
+                        out_luma, out_chroma):
+        """items: the GLOBAL [(picture_number, payload)] list in output
+        order. Returns the ordered [(y, c1, c2)] cropped int32 planes on
+        process 0, None elsewhere. Picture i is decoded by process
+        i % process_count; process 0 receives every block via one DCN
+        allgather of the stacked planes."""
+        import jax
+        from jax.experimental import multihost_utils
+
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        n = len(items)
+        if n == 0:
+            return [] if pid == 0 else None
+        k = -(-n // nproc)              # pictures per process, padded
+        lh, lw = out_luma
+        ch, cw = out_chroma
+        ys = np.empty((k, lh, lw), np.int32)
+        c1s = np.empty((k, ch, cw), np.int32)
+        c2s = np.empty((k, ch, cw), np.int32)
+        for j in range(k):
+            i = min(pid + j * nproc, n - 1)
+            y, c1, c2 = self.sdec.decode_payload(items[i][1], prefix, scalar)
+            ys[j] = y[:lh, :lw]
+            c1s[j] = c1[:ch, :cw]
+            c2s[j] = c2[:ch, :cw]
+        gy = multihost_utils.process_allgather(ys, tiled=True)
+        gc1 = multihost_utils.process_allgather(c1s, tiled=True)
+        gc2 = multihost_utils.process_allgather(c2s, tiled=True)
+        if pid != 0:
+            return None
+        out = []
+        for i in range(n):
+            p, j = i % nproc, i // nproc
+            g = p * k + j
+            out.append((gy[g], gc1[g], gc2[g]))
+        return out
+
+
 def scaling_efficiency(cfg: EncoderConfig, mesh: Mesh, n_frames: int = 4,
                        seed: int = 0):
     """Throughput harness for the 1->N-host scaling target (BASELINE.json
