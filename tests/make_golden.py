@@ -38,6 +38,10 @@ INPUTS = [
     # fallback (which emits the spec-correct long codes) is covered by
     # tests/test_device_pack.py instead.
     ("extreme444", 32, 32, "4:4:4", 12, 1),
+    # mid-size case: puts multi-word slice sizes and the adaptive
+    # capacity-bucket/retry logic in every default suite run (the tiny
+    # cases fit their first bucket)
+    ("midsize422", 256, 128, "4:2:2", 10, 1),
 ]
 
 # (case name, input, extra encoder args)
@@ -85,6 +89,11 @@ CASES = [
     ("constq_extreme_fidelity", "extreme444",
      ["-m", "HQ_ConstQ", "-k", "Fidelity", "-d", "2", "-u", "2", "-a", "2",
       "-q", "0", "-S", "8"]),
+    ("cbr_midsize", "midsize422", ["-m", "HQ_CBR", "-k", "LeGall", "-d", "2",
+                                   "-u", "2", "-a", "2", "-S", "2",
+                                   "-s", "32768"]),
+    ("ld_midsize", "midsize422", ["-m", "LD", "-k", "LeGall", "-d", "2",
+                                  "-u", "2", "-a", "2", "-s", "32768"]),
 ]
 
 TAP_CASES = [
