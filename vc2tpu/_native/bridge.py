@@ -106,6 +106,13 @@ class _Native:
         lib.unpack_dequant_plane.argtypes = [pu8, i64, p64, p64, i64, i64,
                                              p32, p32, p32, i64, i64, i64,
                                              i64, p32]
+        lib.ld_unpack_dequant.argtypes = [
+            pu8, i64, i64, p32, i64, i64, i64,
+            i64, p32, p32, p32, i64, i64, i64,
+            i64, p32, p32, p32, i64, i64, i64,
+            p32, p32, p32, p32, p32, p32, p32]
+        lib.ld_ll_dequantise.argtypes = [p32, i64, i64, i64, i64, i64,
+                                         i64, i64, p32, p32, p32, i64]
 
     def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
         self._lib.pack_codes(
@@ -168,6 +175,31 @@ class _Native:
             c(qm_block_y), c(qm_block_c), c(perm_y), perm_y.size,
             c(perm_c), perm_c.size, c(slice_bytes),
             q_out, qy_out, qu_out, qv_out)
+
+    def ld_unpack_dequant(self, payload, start_byte, slice_bytes, ys, xs, ts,
+                          W, qm_lane_y, off_plane_y, off_ll_y, Ly, sliceH,
+                          sliceW, CW, qm_lane_c, off_plane_c, off_ll_c, Lc,
+                          csliceH, csliceW, q_out, ty, tu, tv,
+                          llqy, llqu, llqv):
+        self._lib.ld_unpack_dequant(
+            np.ascontiguousarray(payload, np.uint8), payload.size,
+            int(start_byte), np.ascontiguousarray(slice_bytes, np.int32),
+            int(ys), int(xs), int(ts),
+            int(W), qm_lane_y, off_plane_y, off_ll_y, int(Ly),
+            int(sliceH), int(sliceW),
+            int(CW), qm_lane_c, off_plane_c, off_ll_c, int(Lc),
+            int(csliceH), int(csliceW),
+            q_out, ty, tu, tv, llqy, llqu, llqv)
+
+    def ld_ll_dequantise(self, llq, ys, xs, ts, sliceH, sliceW, qm_block,
+                         q_idx, plane):
+        llh, llw = llq.shape
+        H, W = plane.shape
+        self._lib.ld_ll_dequantise(
+            np.ascontiguousarray(llq, np.int32), llh, llw, int(ys), int(xs),
+            int(ts), int(sliceH), int(sliceW),
+            np.ascontiguousarray(qm_block, np.int32),
+            np.ascontiguousarray(q_idx, np.int32), plane, W)
 
     def ld_dequantise_plane(self, qplane, H, W, ys, xs, ts, qm_block, q_idx, out):
         self._lib.ld_dequantise_plane(

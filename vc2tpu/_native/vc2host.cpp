@@ -502,6 +502,25 @@ static inline int svlc_bits(int32_t v) {
   return 2 * (32 - __builtin_clz(u));
 }
 
+// Division-free trial sizing tables (the scalar twin of rdo/cbr.py's
+// _component_bits_fast): |quant_factor| with the int32-wrap clamp, its bit
+// length, and its mantissa normalised to the uint32 top bit.
+static uint32_t kAbsQf[120];
+static int32_t kBlQf[120];
+static uint32_t kQfNorm[120];
+static bool init_fastq() {
+  for (int q = 0; q < 120; ++q) {
+    int32_t w = static_cast<int32_t>(kQuantFactor[q]);
+    int64_t a = w < 0 ? -static_cast<int64_t>(w) : static_cast<int64_t>(w);
+    if (a > 0x7fffffff) a = 0x7fffffff;
+    kAbsQf[q] = static_cast<uint32_t>(a);
+    kBlQf[q] = 32 - __builtin_clz(kAbsQf[q]);
+    kQfNorm[q] = kAbsQf[q] << (32 - kBlQf[q]);
+  }
+  return true;
+}
+static const bool kFastqInit = init_fastq();
+
 namespace {
 
 // LD slice quantiser in serialisation (perm) order: LL lanes first (the
@@ -525,8 +544,12 @@ struct LDLaneQuantiser {
   int32_t body_max;    // max |coeff| over the non-LL lanes (current slice)
   int32_t qm_body_max; // max quant-matrix value over the non-LL lanes
 
+  uint32_t* m4s;       // |coeff|<<2 per body lane (the quant numerator)
+  int32_t* blms;       // its bit length
+  uint32_t* m4ns;      // its mantissa normalised to the uint32 top bit
+
   static int scratch_ints(int L_, int sliceH_, int sliceW_, int ts_) {
-    return 3 * L_ + 2 * (sliceH_ / ts_) * (sliceW_ / ts_);
+    return 6 * L_ + 2 * (sliceH_ / ts_) * (sliceW_ / ts_);
   }
 
   void init(const int32_t* p, int H_, int W_, int ys, int xs, int ts_,
@@ -536,7 +559,10 @@ struct LDLaneQuantiser {
     sliceH = H / ys; sliceW = W / xs; llw = W / ts_; L = L_;
     nLL = (sliceH / ts_) * (sliceW / ts_);
     qm_lane = scratch; off_block = scratch + L; vals = scratch + 2 * L;
-    lly = scratch + 3 * L; llx = lly + nLL;
+    m4s = reinterpret_cast<uint32_t*>(scratch + 3 * L);
+    blms = scratch + 4 * L;
+    m4ns = reinterpret_cast<uint32_t*>(scratch + 5 * L);
+    lly = scratch + 6 * L; llx = lly + nLL;
     decodedLL = dll; v = 0; h = 0;
     qm_body_max = 0;
     for (int k = 0; k < L; ++k) {
@@ -557,8 +583,77 @@ struct LDLaneQuantiser {
       vals[k] = x;
       const int32_t a = x < 0 ? -x : x;
       if (a > m) m = a;
+      const uint32_t m4 = static_cast<uint32_t>(a) << 2;
+      m4s[k] = m4;
+      const int bl = m4 ? 32 - __builtin_clz(m4) : 0;
+      blms[k] = bl;
+      m4ns[k] = bl ? (m4 << (32 - bl)) : 0u;
     }
     body_max = m;
+  }
+
+  // Code bit length of body lane k at adjusted quantiser aq, without the
+  // division: e+1 = floor(log2(m4/qf))+1 from the bit-length difference
+  // plus one normalised-mantissa compare, then a single shift-compare
+  // settles whether m+1 is exactly a power of two. Equals
+  // svlc_bits(c_quant(vals[k], aq)) for |coeff| < 2^29 (the quantiser's
+  // exact domain) — same derivation as rdo/cbr._component_bits_fast.
+  inline int body_nb(int k, int aq) const {
+    const uint32_t m4 = m4s[k];
+    const uint32_t qf = kAbsQf[aq];
+    if (m4 < qf) return 1;
+    const int e1 = blms[k] - kBlQf[aq] + (m4ns[k] >= kQfNorm[aq] ? 1 : 0);
+    const bool ok = kBlQf[aq] + e1 <= 32;
+    const bool pw = ok && (m4 + qf >= (qf << e1));
+    return 2 * (e1 + (pw ? 1 : 0));
+  }
+
+  // One LL lane of a probe: always runs (the DC-prediction recurrence
+  // state must advance on every trial); returns the code bit length.
+  inline int ll_lane(int qIndex, int k, int y0, int x0) {
+    const int aq = adjust_q(qIndex, qm_lane[k]);
+    const int yLL = y0 + lly[k], xLL = x0 + llx[k];
+    const int pred = predict_dc(decodedLL, llw, yLL, xLL);
+    const int qv = c_quant(vals[k] - pred, aq);
+    decodedLL[yLL * llw + xLL] = c_scale(qv, aq) + pred;
+    return svlc_bits(qv);
+  }
+
+  void ll_only(int qIndex) {
+    const int y0 = v * (sliceH / ts), x0 = h * (sliceW / ts);
+    for (int k = 0; k < nLL; ++k) ll_lane(qIndex, k, y0, x0);
+  }
+
+  bool body_all_zero(int qIndex) const {
+    const int aq_min = adjust_q(qIndex, qm_body_max);
+    return static_cast<int64_t>(body_max) * 4 < kAbsQf[aq_min];
+  }
+
+  // Fused probe: LL recurrence + body count with the truncation rule and
+  // an exact early exit — the truncated count only ever grows along the
+  // scan, so the moment it exceeds ``limit`` the probe cannot fit and
+  // returns limit+1 (remaining body lanes are stateless). Equals
+  // count_bits_1(trial(...)) when it completes.
+  int probe_bits(int qIndex, int limit) {
+    const int y0 = v * (sliceH / ts), x0 = h * (sliceW / ts);
+    int gross = 0, count = 0;
+    for (int k = 0; k < nLL; ++k) {
+      const int nb = ll_lane(qIndex, k, y0, x0);
+      gross += nb;
+      if (nb > 1) count = gross;
+    }
+    if (count > limit) return limit + 1;
+    if (body_all_zero(qIndex)) return count;
+    for (int k = nLL; k < L; ++k) {
+      const int aq = adjust_q(qIndex, qm_lane[k]);
+      const int nb = body_nb(k, aq);
+      gross += nb;
+      if (nb > 1) {
+        count = gross;
+        if (count > limit) return limit + 1;
+      }
+    }
+    return count;
   }
 
   // Trial-quantise the current slice. Fills nb[k] (code bit lengths) and,
@@ -610,6 +705,42 @@ struct LDLaneQuantiser {
     return false;
   }
 };
+
+// Fused interleaved-chroma probe (the U,V codes interleave per coefficient,
+// Slices.cpp:71-95): both LL recurrences always advance; the body scan
+// early-exits exactly like probe_bits. Equals
+// count_bits_2(trialU, trialV) when it completes.
+static int probe_bits_2(LDLaneQuantiser& U, LDLaneQuantiser& V,
+                        int qIndex, int limit) {
+  const int y0u = U.v * (U.sliceH / U.ts), x0u = U.h * (U.sliceW / U.ts);
+  const int y0v = V.v * (V.sliceH / V.ts), x0v = V.h * (V.sliceW / V.ts);
+  int gross = 0, count = 0;
+  for (int k = 0; k < U.nLL; ++k) {
+    int nb = U.ll_lane(qIndex, k, y0u, x0u);
+    gross += nb;
+    if (nb > 1) count = gross;
+    nb = V.ll_lane(qIndex, k, y0v, x0v);
+    gross += nb;
+    if (nb > 1) count = gross;
+  }
+  if (count > limit) return limit + 1;
+  if (U.body_all_zero(qIndex) && V.body_all_zero(qIndex)) return count;
+  for (int k = U.nLL; k < U.L; ++k) {
+    int nb = U.body_nb(k, adjust_q(qIndex, U.qm_lane[k]));
+    gross += nb;
+    if (nb > 1) {
+      count = gross;
+      if (count > limit) return limit + 1;
+    }
+    nb = V.body_nb(k, adjust_q(qIndex, V.qm_lane[k]));
+    gross += nb;
+    if (nb > 1) {
+      count = gross;
+      if (count > limit) return limit + 1;
+    }
+  }
+  return count;
+}
 
 // truncated bit count (Slices.cpp:97-113): gross bits up to the last lane
 // with a >1-bit (i.e. non-zero-valued) code
@@ -686,10 +817,16 @@ EXPORT int ld_encode(const int32_t* yp, const int32_t* up, const int32_t* vp,
     int trialQ = 63, q = 127, delta = 64;
     while (delta > 0) {
       delta >>= 1;
-      qy.trial(trialQ, nullptr, nb_y);
-      qu.trial(trialQ, nullptr, nb_u);
-      qv.trial(trialQ, nullptr, nb_v);
-      const int bits = count_bits_1(nb_y, Ly) + count_bits_2(nb_u, nb_v, Lc);
+      // fused probes: division-free body sizing with exact early exit;
+      // when luma alone overruns, the chroma body scans are skipped
+      // entirely (their LL recurrences still advance)
+      int bits = qy.probe_bits(trialQ, bits_available);
+      if (bits <= bits_available) {
+        bits += probe_bits_2(qu, qv, trialQ, bits_available - bits);
+      } else {
+        qu.ll_only(trialQ);
+        qv.ll_only(trialQ);
+      }
       if (bits <= bits_available) {
         if (trialQ < q) q = trialQ;
         trialQ -= delta;
@@ -1316,6 +1453,12 @@ struct UDPShared {
   const int32_t* qm_lane;
   const int32_t* off_plane;
   int64_t L;
+  // LD modes (mode 0 = HQ dequant-scatter): 1 = LD luma (first nLL lanes
+  // are raw quantised-LL stores for the later prediction recurrence),
+  // 2 = LD interleaved chroma (codes alternate U,V; plane lane = code/2)
+  int mode = 0;
+  int64_t nLL = 0;
+  const int32_t* off_ll = nullptr;
 };
 
 struct UDPStream {
@@ -1324,9 +1467,13 @@ struct UDPStream {
   int q;
   uint64_t w;
   int navail;
+  int32_t* base2 = nullptr;     // LD chroma: the V plane
+  int32_t* base_ll = nullptr;   // LD: quantised-LL grid of base's plane
+  int32_t* base_ll2 = nullptr;  // LD chroma: V's LL grid
 
-  inline void store(const UDPShared& sh, int32_t v) {
-    int aq = q - sh.qm_lane[lane];
+  inline void dequant_to(const UDPShared& sh, int32_t* tgt, int64_t k,
+                         int32_t v) {
+    int aq = q - sh.qm_lane[k];
     if (aq < 0) aq = 0; else if (aq > 119) aq = 119;
     const int32_t neg = v >> 31;
     v = (v ^ neg) - neg;
@@ -1334,12 +1481,35 @@ struct UDPStream {
     v += kQoLut[aq] & -static_cast<int32_t>(v > 0);
     v += 2;
     v = v < 0 ? -((-v) >> 2) : v >> 2;
-    base[sh.off_plane[lane]] = (v ^ neg) - neg;
+    tgt[sh.off_plane[k]] = (v ^ neg) - neg;
+  }
+
+  inline void store(const UDPShared& sh, int32_t v) {
+    if (sh.mode == 0) {
+      dequant_to(sh, base, lane, v);
+    } else if (sh.mode == 1) {
+      if (lane < sh.nLL) base_ll[sh.off_ll[lane]] = v;
+      else dequant_to(sh, base, lane, v);
+    } else {
+      const int64_t k = lane >> 1;
+      if (k < sh.nLL) ((lane & 1) ? base_ll2 : base_ll)[sh.off_ll[k]] = v;
+      else dequant_to(sh, (lane & 1) ? base2 : base, k, v);
+    }
     ++lane;
   }
 
   inline void zero_fill(const UDPShared& sh) {
-    for (; lane < sh.L; ++lane) base[sh.off_plane[lane]] = 0;
+    for (; lane < sh.L; ++lane) {
+      if (sh.mode == 0) base[sh.off_plane[lane]] = 0;
+      else if (sh.mode == 1) {
+        if (lane < sh.nLL) base_ll[sh.off_ll[lane]] = 0;
+        else base[sh.off_plane[lane]] = 0;
+      } else {
+        const int64_t k = lane >> 1;
+        if (k < sh.nLL) ((lane & 1) ? base_ll2 : base_ll)[sh.off_ll[k]] = 0;
+        else ((lane & 1) ? base2 : base)[sh.off_plane[k]] = 0;
+      }
+    }
   }
 
   // one code via a fresh bound-masked peek (safe everywhere)
@@ -1412,16 +1582,24 @@ struct UDPStream {
     navail = 64;
   }
 
+  // bound-masked window: every bit at or past the region bound (and past
+  // the buffer end) reads as 1 — keeps the fast loop running through the
+  // short regions and region tails that the unmasked load cannot cover
+  inline void load_window_masked(const UDPShared& sh) {
+    w = peek64(sh.buf, sh.buflen, base_bit + pos, lim - pos);
+    navail = 64;
+  }
+
   // decode one code from the rolling window. Returns false when the stream
   // left the fast regime (caller finishes it with finish_slow) or is done.
-  // The per-code pos+64<=lim guard keeps the window wholly inside the
-  // bounded region, where no 1-masking is needed.
+  // Windows reload bound-masked, so the whole bounded region decodes fast;
+  // past the bound the caller's pos >= lim check zero-fills.
   inline bool fast_one(const UDPShared& sh) {
     if (lane >= sh.L) return false;
-    if (pos + 64 > lim) return false;
+    if (pos >= lim) return false;
     if (navail <= 40) {
-      if (!fast_ok(sh)) return false;
-      load_window(sh);
+      if (fast_ok(sh)) load_window(sh);
+      else load_window_masked(sh);
     }
     const uint64_t follow = w & 0xAAAAAAAAAAAAAAAAull;
     int j;
@@ -1457,6 +1635,28 @@ struct UDPStream {
   }
 };
 
+// drive a gang of initialised streams to completion (round-robin fast
+// decode, dropping to the bounded slow path per stream as needed)
+static void run_gang(const UDPShared& sh, UDPStream* st, int gn) {
+  unsigned mask = 0;
+  for (int i = 0; i < gn; ++i) {
+    st[i].navail = 0;              // fast_one loads (masked when short)
+    mask |= 1u << i;
+  }
+  while (mask) {
+    for (int i = 0; i < gn; ++i) {
+      if (!(mask & (1u << i))) continue;
+      if (!st[i].fast_one(sh)) {
+        mask &= ~(1u << i);
+        if (st[i].lane < sh.L) {
+          if (st[i].pos >= st[i].lim) st[i].zero_fill(sh);
+          else st[i].finish_slow(sh);
+        }
+      }
+    }
+  }
+}
+
 }  // namespace
 
 EXPORT void unpack_dequant_plane(const uint8_t* buf, int64_t buflen,
@@ -1472,7 +1672,6 @@ EXPORT void unpack_dequant_plane(const uint8_t* buf, int64_t buflen,
   UDPStream st[G];
   for (int64_t g0 = 0; g0 < S; g0 += G) {
     const int gn = static_cast<int>(S - g0 < G ? S - g0 : G);
-    unsigned mask = 0;
     for (int i = 0; i < gn; ++i) {
       const int64_t s = g0 + i;
       st[i].pos = 0;
@@ -1482,24 +1681,120 @@ EXPORT void unpack_dequant_plane(const uint8_t* buf, int64_t buflen,
       st[i].base = plane + (s / xs) * sh_ * W + (s % xs) * sw;
       st[i].q = q_idx[s];
       st[i].navail = 0;
-      if (st[i].fast_ok(sh)) {
-        st[i].load_window(sh);
-        mask |= 1u << i;
-      } else {
-        st[i].finish_slow(sh);
-      }
     }
-    while (mask) {
-      for (int i = 0; i < gn; ++i) {
-        if (!(mask & (1u << i))) continue;
-        if (!st[i].fast_one(sh)) {
-          mask &= ~(1u << i);
-          if (st[i].lane < L) {
-            if (st[i].pos >= st[i].lim) st[i].zero_fill(sh);
-            else st[i].finish_slow(sh);
-          }
-        }
+    run_gang(sh, st, gn);
+  }
+}
+
+// small fixed-width big-endian field read (slice headers)
+static inline int64_t read_bits_n(const uint8_t* buf, int64_t buflen,
+                                  int64_t pos, int n) {
+  int64_t v = 0;
+  for (int i = 0; i < n; ++i)
+    v = (v << 1) | get_bit(buf, buflen, pos + i);
+  return v;
+}
+
+// Fused LD decode head (the LD twin of unpack_dequant_plane): per-slice
+// header parse (7-bit qIndex + intlog2(8*bytes-7)-bit luma length,
+// reference Slices.cpp:195-303), then bounded gang decode of the luma and
+// interleaved-U,V regions — non-LL lanes inverse-quantise straight into
+// the transform planes, quantised LL values collect into compact grids
+// for ld_ll_dequantise's prediction recurrence. Decode tail being
+// fused: /root/reference/src/DecodeStream/DecodeStream.cpp:289-450.
+EXPORT void ld_unpack_dequant(
+    const uint8_t* buf, int64_t buflen, int64_t start_byte,
+    const int32_t* slice_bytes, int64_t ySlices, int64_t xSlices, int64_t ts,
+    int64_t W, const int32_t* qm_lane_y, const int32_t* off_plane_y,
+    const int32_t* off_ll_y, int64_t Ly, int64_t sliceH, int64_t sliceW,
+    int64_t CW, const int32_t* qm_lane_c, const int32_t* off_plane_c,
+    const int32_t* off_ll_c, int64_t Lc, int64_t csliceH, int64_t csliceW,
+    int32_t* q_out, int32_t* ty, int32_t* tu, int32_t* tv,
+    int32_t* llqy, int32_t* llqu, int32_t* llqv) {
+  const int64_t S = ySlices * xSlices;
+  const int64_t llw = W / ts, cllw = CW / ts;
+  const int64_t llsh = sliceH / ts, llsw = sliceW / ts;
+  const int64_t cllsh = csliceH / ts, cllsw = csliceW / ts;
+  UDPShared shy{buf, buflen, qm_lane_y, off_plane_y, Ly};
+  shy.mode = 1;
+  shy.nLL = llsh * llsw;
+  shy.off_ll = off_ll_y;
+  UDPShared shc{buf, buflen, qm_lane_c, off_plane_c, 2 * Lc};
+  shc.mode = 2;
+  shc.nLL = cllsh * cllsw;
+  shc.off_ll = off_ll_c;
+  constexpr int G = 4;
+  UDPStream sty[G], stc[G];
+  int64_t cum = start_byte;
+  for (int64_t g0 = 0; g0 < S; g0 += G) {
+    const int gn = static_cast<int>(S - g0 < G ? S - g0 : G);
+    for (int i = 0; i < gn; ++i) {
+      const int64_t s = g0 + i;
+      const int64_t v = s / xSlices, h = s % xSlices;
+      const int64_t bytes = slice_bytes[s];
+      const int64_t base_bit = cum * 8;
+      cum += bytes;
+      const int64_t total_bits = 8 * bytes;
+      const int len_bits = intlog2_c(static_cast<int>(total_bits - 7));
+      int q;
+      int64_t luma_len;
+      if (7 + len_bits <= 64) {      // one masked window covers the header
+        const uint64_t hw = peek64(buf, buflen, base_bit, total_bits);
+        q = static_cast<int>(hw >> 57);
+        luma_len = len_bits
+            ? static_cast<int64_t>((hw << 7) >> (64 - len_bits)) : 0;
+      } else {
+        q = static_cast<int>(read_bits_n(buf, buflen, base_bit, 7));
+        luma_len = read_bits_n(buf, buflen, base_bit + 7, len_bits);
       }
+      q_out[s] = q;
+      int64_t clim = total_bits - 7 - len_bits - luma_len;
+      if (clim < 0) clim = 0;
+      sty[i].pos = 0;
+      sty[i].lim = luma_len;
+      sty[i].base_bit = base_bit + 7 + len_bits;
+      sty[i].lane = 0;
+      sty[i].base = ty + v * sliceH * W + h * sliceW;
+      sty[i].base_ll = llqy + v * llsh * llw + h * llsw;
+      sty[i].q = q;
+      sty[i].navail = 0;
+      stc[i].pos = 0;
+      stc[i].lim = clim;
+      stc[i].base_bit = base_bit + 7 + len_bits + luma_len;
+      stc[i].lane = 0;
+      stc[i].base = tu + v * csliceH * CW + h * csliceW;
+      stc[i].base2 = tv + v * csliceH * CW + h * csliceW;
+      stc[i].base_ll = llqu + v * cllsh * cllw + h * cllsw;
+      stc[i].base_ll2 = llqv + v * cllsh * cllw + h * cllsw;
+      stc[i].q = q;
+      stc[i].navail = 0;
+    }
+    run_gang(shy, sty, gn);
+    run_gang(shc, stc, gn);
+  }
+}
+
+// LL-subband predictive inverse quantise from the compact quantised-LL
+// grid (reference inverse_quantise_LLSubband, Quantisation.cpp:287-306),
+// reconstructed values scattered into the in-place transform plane.
+EXPORT void ld_ll_dequantise(const int32_t* llq, int64_t llh, int64_t llw,
+                             int64_t ySlices, int64_t xSlices, int64_t ts,
+                             int64_t sliceH, int64_t sliceW,
+                             const int32_t* qm_block, const int32_t* q_idx,
+                             int32_t* plane, int64_t W) {
+  int32_t* ll = new int32_t[llh * llw];
+  for (int64_t y = 0; y < llh; ++y) {
+    for (int64_t x = 0; x < llw; ++x) {
+      const int64_t yb = ((y + 1) * ySlices - 1) / llh;
+      const int64_t xb = ((x + 1) * xSlices - 1) / llw;
+      const int64_t yy = y * ts, xx = x * ts;
+      const int aq = adjust_q(q_idx[yb * xSlices + xb],
+                              qm_block[(yy % sliceH) * sliceW + (xx % sliceW)]);
+      const int pred = predict_dc(ll, llw, y, x);
+      const int32_t r = c_scale(llq[y * llw + x], aq) + pred;
+      ll[y * llw + x] = r;
+      plane[yy * W + xx] = r;
     }
   }
+  delete[] ll;
 }

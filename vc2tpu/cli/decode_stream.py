@@ -326,6 +326,7 @@ class Decoder:
         self._combined = None
         self._widths = None
         pic_h, padded_h, padded_w = _geometry(hdr, depth)
+        self._ld_transform = None
         from vc2tpu.core.config import chroma_dims
 
         pch, pcw = chroma_dims(padded_h, padded_w, hdr.chroma_format)
@@ -365,6 +366,22 @@ class Decoder:
                           // pre.slice_bytes_denominator)
             picture_bytes = compressed // 2 if hdr.interlace else compressed
             sizes = layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
+            if (self.output in (DecOutput.DECODED, DecOutput.TRANSFORM)
+                    and self._route not in ("device", "mesh")
+                    and ld_pipeline.native is not None):
+                # fused native LD decode: bounded gang VLC + dequant
+                # straight into the transform planes (host route)
+                qmatrix = matrices.quant_matrix(pre.wavelet_kernel,
+                                                pre.depth)
+                qm_block_y = ld_pipeline._qm_block(*geo.luma_slice,
+                                                   pre.depth, qmatrix)
+                qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice,
+                                                   pre.depth, qmatrix)
+                q_idx, transform = ld_pipeline.ld_decode_to_transform_host(
+                    payload, sizes, geo, pre.depth, qmatrix, qm_block_y,
+                    qm_block_c, hdr.chroma_format, start=start)
+                self._ld_transform = transform
+                return geo, pic_h, q_idx, None, None, None
             q_idx, ly, lu, lv, _ = decode_ld_slices(payload, sizes, (Ly, Lc),
                                                     start=start)
         return geo, pic_h, q_idx, ly, lu, lv
@@ -453,19 +470,24 @@ class Decoder:
             self._emit_words(words, post)
             return
         else:
-            quantised = Picture(
-                layout.lanes_to_plane(ly, geo.y_slices, geo.x_slices,
-                                      *geo.luma_slice, pre.depth),
-                layout.lanes_to_plane(lu, geo.y_slices, geo.x_slices,
-                                      *geo.chroma_slice, pre.depth),
-                layout.lanes_to_plane(lv, geo.y_slices, geo.x_slices,
-                                      *geo.chroma_slice, pre.depth),
-                hdr.chroma_format)
-            qm_block_y = ld_pipeline._qm_block(*geo.luma_slice, pre.depth, qmatrix)
-            qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice, pre.depth,
-                                               qmatrix)
-            transform = ld_pipeline.ld_dequantise_picture(
-                quantised, q_idx, qm_block_y, qm_block_c, geo, pre.depth)
+            if self._ld_transform is not None:
+                transform = self._ld_transform      # fused native decode
+                self._ld_transform = None
+            else:
+                quantised = Picture(
+                    layout.lanes_to_plane(ly, geo.y_slices, geo.x_slices,
+                                          *geo.luma_slice, pre.depth),
+                    layout.lanes_to_plane(lu, geo.y_slices, geo.x_slices,
+                                          *geo.chroma_slice, pre.depth),
+                    layout.lanes_to_plane(lv, geo.y_slices, geo.x_slices,
+                                          *geo.chroma_slice, pre.depth),
+                    hdr.chroma_format)
+                qm_block_y = ld_pipeline._qm_block(*geo.luma_slice, pre.depth,
+                                                   qmatrix)
+                qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice,
+                                                   pre.depth, qmatrix)
+                transform = ld_pipeline.ld_dequantise_picture(
+                    quantised, q_idx, qm_block_y, qm_block_c, geo, pre.depth)
             if self.output == DecOutput.TRANSFORM:
                 write_picture(self.sink, transform, sig_fmt)
                 return

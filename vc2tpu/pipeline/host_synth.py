@@ -176,7 +176,10 @@ def synthesise_transform_to_words_host(transform, kernel: WaveletKernel,
                                        out_geometry: PictureGeometry,
                                        bitdepth: int):
     """Host twin of synthesise_transform_to_words (the LD decode tail):
-    already-dequantised in-place transform planes -> IDWT + format."""
+    already-dequantised in-place transform planes -> IDWT + format.
+    CONSUMES contiguous int32 planes (the in-place IDWT mutates them);
+    other layouts are copied first. Both decoder sources (the fused
+    native LD decode and ld_dequantise_picture) own their planes."""
     meta, taps, shift = _inverted_ladder(kernel)
     word = 1 if bitdepth <= 8 else 2
     og = out_geometry
@@ -188,7 +191,9 @@ def synthesise_transform_to_words_host(transform, kernel: WaveletKernel,
     for p, (oh, ow) in ((transform.y, (og.luma_height, og.luma_width)),
                         (transform.c1, (og.chroma_height, og.chroma_width)),
                         (transform.c2, (og.chroma_height, og.chroma_width))):
-        plane = np.ascontiguousarray(p, np.int32).copy()
+        plane = np.asarray(p)
+        if plane.dtype != np.int32 or not plane.flags.c_contiguous:
+            plane = np.ascontiguousarray(plane, np.int32)
         native.idwt_plane(plane, depth, meta, taps, shift)
         native.clip_format_out(plane, oh, ow, bitdepth,
                                out[pos:pos + oh * ow * word])

@@ -8,6 +8,8 @@ predictive quantisation) runs in the native host module in one pass.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,6 +190,66 @@ class LDEncoder:
                                   self.qm_block_y, self.qm_block_c,
                                   self.geo, cfg.wavelet_depth)
         return lifting.inverse_picture(t, cfg.kernel, cfg.wavelet_depth, geometry)
+
+
+@functools.lru_cache(maxsize=None)
+def _ld_lane_tables(slice_h: int, slice_w: int, depth: int, plane_w: int,
+                    qm_key: tuple):
+    """(qm_lane, off_plane, off_ll) in serialisation (perm) order:
+    off_plane is the lane's plane offset relative to the slice origin,
+    off_ll the LL lane's offset in the compact LL grid relative to the
+    slice's LL origin (the first nLL lanes of the order are LL)."""
+    perm, band = layout.lane_order(slice_h, slice_w, depth)
+    qm_lane = np.ascontiguousarray(
+        np.asarray(qm_key, np.int32)[band])
+    by, bx = perm // slice_w, perm % slice_w
+    off_plane = np.ascontiguousarray((by * plane_w + bx).astype(np.int32))
+    ts = 1 << depth
+    llw = plane_w // ts
+    nll = (slice_h // ts) * (slice_w // ts)
+    off_ll = np.ascontiguousarray(
+        ((by[:nll] // ts) * llw + bx[:nll] // ts).astype(np.int32))
+    return qm_lane, off_plane, off_ll
+
+
+def ld_decode_to_transform_host(payload: np.ndarray, slice_sizes, geo,
+                                depth: int, qmatrix, qm_block_y, qm_block_c,
+                                chroma_format, start: int = 0):
+    """Fused native LD decode: payload bytes -> (q_indices, in-place
+    transform Picture) with no intermediate lane buffers — bounded gang
+    VLC decode + dequantise straight into the planes, then the LL
+    prediction recurrence from the compact quantised-LL grids (the LD
+    twin of host_synth.synthesise_payload_to_words_host's head;
+    reference decode tail: DecodeStream.cpp:289-450)."""
+    ts = 1 << depth
+    H, W = geo.padded_luma
+    CH, CW = geo.padded_chroma
+    sh, sw = geo.luma_slice
+    csh, csw = geo.chroma_slice
+    qm_key = tuple(int(v) for v in qmatrix)
+    qly, oply, olly = _ld_lane_tables(sh, sw, depth, W, qm_key)
+    qlc, oplc, ollc = _ld_lane_tables(csh, csw, depth, CW, qm_key)
+    n = geo.n_slices
+    ty = np.empty((H, W), np.int32)
+    tu = np.empty((CH, CW), np.int32)
+    tv = np.empty((CH, CW), np.int32)
+    llqy = np.empty((H // ts, W // ts), np.int32)
+    llqu = np.empty((CH // ts, CW // ts), np.int32)
+    llqv = np.empty((CH // ts, CW // ts), np.int32)
+    q = np.empty(n, np.int32)
+    native.ld_unpack_dequant(
+        payload, start, np.ascontiguousarray(slice_sizes, np.int32),
+        geo.y_slices, geo.x_slices, ts,
+        W, qly, oply, olly, sh * sw, sh, sw,
+        CW, qlc, oplc, ollc, csh * csw, csh, csw,
+        q, ty, tu, tv, llqy, llqu, llqv)
+    native.ld_ll_dequantise(llqy, geo.y_slices, geo.x_slices, ts, sh, sw,
+                            qm_block_y, q, ty)
+    native.ld_ll_dequantise(llqu, geo.y_slices, geo.x_slices, ts, csh, csw,
+                            qm_block_c, q, tu)
+    native.ld_ll_dequantise(llqv, geo.y_slices, geo.x_slices, ts, csh, csw,
+                            qm_block_c, q, tv)
+    return q, Picture(ty, tu, tv, chroma_format)
 
 
 def ld_dequantise_picture(quantised: Picture, q_indices: np.ndarray,

@@ -33,9 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vc2tpu.quant.quantiser import (ABS_QF_I32, banded_aq, expand_bands,
-                                    quant_banded, scale_banded,
-                                    signed_vlc_numbits)
+from vc2tpu.quant.quantiser import (ABS_QF_I32, QUANT_FACTORS_I32,
+                                    QUANT_OFFSETS, RECIP_QF_F32, _quant_core,
+                                    _scale_core, banded_aq, expand_bands,
+                                    quant_banded, signed_vlc_numbits)
 
 # Static sizing tables over the adjusted-quantiser domain [0, 119]:
 # |quant_factor| (as the quantiser's clamped ABS_QF_I32), its bit length,
@@ -62,7 +63,7 @@ def _magnitude_forms(lanes):
     return m4, blm, m4n
 
 
-def _component_bits_fast(forms, aq_bands, band_sizes):
+def _component_bits_fast(forms, tables, band_sizes):
     """Truncated VLC bit count of each slice's component at the per-slice
     adjusted quantisers, without dividing.
 
@@ -73,12 +74,15 @@ def _component_bits_fast(forms, aq_bands, band_sizes):
     exact test m4 + qf >= qf << (e+1). Matches
     signed_vlc_numbits(quant_banded(...)) bit-for-bit (tests/test_rdo.py);
     mirrors component_slice_bytes (reference Slices.cpp:97-119) including
-    the trailing-zero truncation rule.
+    the trailing-zero truncation rule. ``tables`` are the (N, B) per-band
+    gathers — shared by all three components of a trial (gathers are the
+    TPU hot-loop cost; the broadcasts here are free).
     """
     m4, blm, m4n = forms
-    qf = expand_bands(jnp.asarray(_ABS_QF_U32)[aq_bands], band_sizes)
-    blq = expand_bands(jnp.asarray(_BL_QF)[aq_bands], band_sizes)
-    qfn = expand_bands(jnp.asarray(_QF_NORM)[aq_bands], band_sizes)
+    qf_b, blq_b, qfn_b = tables
+    qf = expand_bands(qf_b, band_sizes)
+    blq = expand_bands(blq_b, band_sizes)
+    qfn = expand_bands(qfn_b, band_sizes)
     e1 = blm - blq + (m4n >= qfn).astype(jnp.int32)      # e + 1
     sh = jnp.clip(e1, 0, 31).astype(jnp.uint32)
     pow2 = ((blq + e1) <= 32) & ((m4 + qf) >= (qf << sh))
@@ -94,9 +98,11 @@ def _slice_bytes_fast(q, forms_y, forms_u, forms_v, qm_bands, bs_y, bs_c,
                       scalar: int):
     """Scaled byte size of every slice at per-slice quantiser q (n,)."""
     aq = banded_aq(q, qm_bands)
+    tables = (jnp.asarray(_ABS_QF_U32)[aq], jnp.asarray(_BL_QF)[aq],
+              jnp.asarray(_QF_NORM)[aq])
 
     def comp(forms, bs):
-        count = _component_bits_fast(forms, aq, bs)
+        count = _component_bits_fast(forms, tables, bs)
         return ((count + 7) // 8 + scalar - 1) // scalar * scalar
 
     return (comp(forms_y, bs_y) + comp(forms_u, bs_c) + comp(forms_v, bs_c))
@@ -128,9 +134,16 @@ def _slice_bytes_at(q, lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
 
 
 def _yss(lanes_y, q, qm_bands, bs_y):
-    """Luma sum-of-squared reconstruction error at quantiser q (int64)."""
-    rec = scale_banded(quant_banded(lanes_y, q, qm_bands, bs_y), q,
-                       qm_bands, bs_y)
+    """Luma sum-of-squared reconstruction error at quantiser q (int64).
+    Quantise + rescale with ONE adjusted-index computation and a shared
+    wrapped-factor gather (quant needs its sign, scale its value)."""
+    aq = banded_aq(q, qm_bands)
+    absqf = expand_bands(jnp.asarray(ABS_QF_I32)[aq], bs_y)
+    recip = expand_bands(jnp.asarray(RECIP_QF_F32)[aq], bs_y)
+    wrapped = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq], bs_y)
+    qo = expand_bands(jnp.asarray(QUANT_OFFSETS)[aq], bs_y)
+    qv = _quant_core(lanes_y.astype(jnp.int32), absqf, recip, wrapped < 0)
+    rec = _scale_core(qv, wrapped, qo)
     d = (lanes_y - rec).astype(jnp.int64)
     return jnp.sum(d * d, axis=1)
 

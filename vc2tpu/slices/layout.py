@@ -112,25 +112,30 @@ def lanes_to_plane(lanes, y_slices: int, x_slices: int, slice_h: int,
     return slices_to_plane(blocks, y_slices, x_slices, slice_h, slice_w)
 
 
-def slice_bytes_map(y_slices: int, x_slices: int, total_bytes: int,
-                    scalar: int) -> np.ndarray:
-    """CBR per-slice byte budget by rational residue spread
-    (reference src/Library/src/Slices.cpp:28-49). int32[ySlices, xSlices]."""
+@functools.lru_cache(maxsize=64)
+def _slice_bytes_map_cached(y_slices: int, x_slices: int, total_bytes: int,
+                            scalar: int) -> np.ndarray:
     n = y_slices * x_slices
     num, den = rationalise(total_bytes // scalar - 4 * n, n)
     ratio = num // den
     remainder = num - ratio * den
-    out = np.empty((y_slices, x_slices), dtype=np.int32)
-    residue = 0
-    for v in range(y_slices):
-        for h in range(x_slices):
-            residue += remainder
-            if residue < den:
-                out[v, h] = ratio * scalar + 4
-            else:
-                out[v, h] = (ratio + 1) * scalar + 4
-                residue -= den
+    # the reference's residue walk (+= remainder, -= den when it spills) is
+    # the Bresenham identity bump_k = floor((k+1)r/den) - floor(kr/den)
+    k = np.arange(n, dtype=np.int64)
+    bump = ((k + 1) * remainder) // den - (k * remainder) // den
+    out = ((ratio + bump) * scalar + 4).astype(np.int32)
+    out = out.reshape(y_slices, x_slices)
+    out.setflags(write=False)
     return out
+
+
+def slice_bytes_map(y_slices: int, x_slices: int, total_bytes: int,
+                    scalar: int) -> np.ndarray:
+    """CBR per-slice byte budget by rational residue spread
+    (reference src/Library/src/Slices.cpp:28-49). int32[ySlices, xSlices].
+    Cached (read-only view) — decode recomputes it per picture."""
+    return _slice_bytes_map_cached(int(y_slices), int(x_slices),
+                                   int(total_bytes), int(scalar))
 
 
 def slice_bytes_at(v: int, h: int, y_slices: int, x_slices: int,
