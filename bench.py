@@ -1,14 +1,28 @@
 """Headline benchmark: 1080p HQ decode frames/s, end-to-end (stream bytes ->
-entropy unpack -> dequant + IDWT on device -> planar output bytes).
+entropy unpack -> dequant + IDWT -> planar output bytes, adaptive route).
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "hq_decode_1080p_fps", "value": N, "unit": "frames/s",
    "vs_baseline": N / 1.32}
 
-Baseline denominator: the reference DecodeStream compiled at -O2 on this host
-decodes the same ConstQ stream at 1.32 fps (BASELINE.md round-2
-re-measurement on exactly this content family, 2026-08-17).
-Secondary metrics (encode fps, CBR encode fps) go to stderr.
+plus a machine-readable secondary tail on stderr
+(``bench-tail: {...}``) covering every BASELINE.md comparison row AND the
+device-route / device-compute-only numbers the adaptive routing would
+otherwise hide (VERDICT r2 "put the TPU route on the driver record"):
+
+* hq_decode_1080p_fps            — auto route (the headline)
+* hq_decode_1080p_device_fps     — VC2TPU_DECODE_ROUTE=device, link included
+* cbr_decode_1080p_fps, ld_decode_1080p_fps, cbr_decode_4k_fps
+* constq_encode_1080p_fps, cbr_encode_1080p_fps, ld_encode_1080p_fps,
+  cbr_encode_4k_fps
+* device_constq_analyse_ms, device_cbr_analyse_ms, device_cbr_search_ms,
+  device_decode_synth_ms — dependent-op-chain timings finished by a real
+  fetch (jax.block_until_ready does not block through the tunnel), so these
+  are on-chip ms/frame with the link excluded.
+
+Baseline denominators: the reference binaries compiled at -O2 on this host,
+measured 2026-08-17 on exactly this content family (BASELINE.md round-2
+re-measurement + round-3 4K decode row).
 
 Config matches BASELINE.json config #1 / BASELINE.md: 1920x1080 4:2:2 10-bit,
 HQ ConstQ q=40, LeGall depth 2, 2x2 slice size (reference flags
@@ -24,20 +38,27 @@ import time
 
 import numpy as np
 
-
 N_FRAMES = 16          # frames timed per measurement
-# reference binaries at -O2 on this host, measured 2026-08-17 on exactly the
-# synth_frames content family (BASELINE.md "round-2 re-measurement")
-BASELINE_DECODE_FPS = 1.32   # reference DecodeStream (HQ ConstQ stream)
-BASELINE_ENCODE_FPS = 0.98   # reference EncodeStream HQ_ConstQ
-BASELINE_CBR_FPS = 0.152     # reference EncodeStream HQ_CBR
-BASELINE_LD_FPS = 0.37       # reference EncodeStream LD
+# reference binaries at -O2 on this host, measured on exactly the
+# synth_frames content family (BASELINE.md "round-2 re-measurement";
+# 4K decode row added round 3)
+BASELINES = {
+    "hq_decode_1080p_fps": 1.32,       # DecodeStream, HQ ConstQ stream
+    "hq_decode_1080p_device_fps": 1.32,
+    "cbr_decode_1080p_fps": 1.18,      # DecodeStream, HQ CBR stream
+    "ld_decode_1080p_fps": 1.27,       # DecodeStream, LD stream
+    "constq_encode_1080p_fps": 0.98,   # EncodeStream HQ_ConstQ
+    "cbr_encode_1080p_fps": 0.152,     # EncodeStream HQ_CBR
+    "ld_encode_1080p_fps": 0.37,       # EncodeStream LD
+    "cbr_decode_4k_fps": 0.34,         # DecodeStream, 4K CBR (r3, best of 3)
+    "cbr_encode_4k_fps": 0.049,        # EncodeStream HQ_CBR 4K (r3)
+}
 
 
 def synth_frames(n, h=1080, w=1920, bits=10, seed=7):
     """Deterministic synthetic video: sinusoid + noise in ALL planes — the
     same content family as tests/make_golden.py and, critically, as the
-    BASELINE.md reference-binary measurements (the denominators below were
+    BASELINE.md reference-binary measurements (the denominators above were
     timed on this family; pure-noise chroma would make our stream strictly
     harder than the one the reference was benchmarked on)."""
     rng = np.random.default_rng(seed)
@@ -60,15 +81,94 @@ def synth_frames(n, h=1080, w=1920, bits=10, seed=7):
     return frames
 
 
+class NullSink:
+    def write(self, b):
+        self.n = getattr(self, "n", 0) + len(b)
+
+
+def log(msg):
+    print(f"bench: {msg}", file=sys.stderr)
+
+
+def build_stream(cfg, geo, encoded, h, w, bits, profile, frame_rate,
+                 interlace=False):
+    from vc2tpu.core import intmath
+    from vc2tpu.core.config import Mode
+    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
+    from vc2tpu.stream.headers import SequenceHeader
+
+    buf = io.BytesIO()
+    writer = StreamWriter(buf)
+    writer.start_sequence()
+    writer.write_sequence_header(SequenceHeader(
+        profile=profile, height=h, width=w,
+        chroma_format=cfg.chroma_format, interlace=interlace,
+        frame_rate=frame_rate, top_field_first=True, bitdepth=bits))
+    for i, e in enumerate(encoded):
+        pre = PicturePreamble(
+            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
+            slices_x=geo.x_slices, slices_y=geo.y_slices,
+            slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar)
+        if cfg.mode == Mode.LD:
+            num, den = intmath.rationalise(cfg.compressed_bytes,
+                                           geo.n_slices)
+            pre.slice_bytes_numerator = num
+            pre.slice_bytes_denominator = den
+        writer.write_picture(i, pre, e.payload, hq=cfg.mode != Mode.LD,
+                             slice_sizes=e.slice_totals)
+    writer.end_sequence()
+    return buf.getvalue()
+
+
+def decode_fps(stream, n_frames, route=None, runs=3, label=""):
+    from vc2tpu.cli.decode_stream import Decoder
+
+    dec = Decoder(sink=NullSink(), route=route)     # warm-up (jit compile)
+    dec.run(stream)
+    assert dec.frames_out == n_frames, (label, dec.frames_out, n_frames)
+    times = []
+    for _ in range(runs):
+        dec = Decoder(sink=NullSink(), route=route)
+        t0 = time.perf_counter()
+        dec.run(stream)
+        times.append(dec.frames_out / (time.perf_counter() - t0))
+    fps = float(np.median(times))
+    log(f"{label} route={dec._route} runs={[round(r, 2) for r in sorted(times)]}")
+    return fps
+
+
+def chain_ms(fn_call, n=6, label=""):
+    """Dependent-op-chain device timing: n sequential calls where each
+    input depends on the previous output, finished by a real ONE-ELEMENT
+    fetch of the last output (block_until_ready is a no-op through the
+    tunnel, and fetching a full output would time the link, not the
+    chip). Two settled warm reps drain compiles and any queued work."""
+
+    def force(o):
+        a = o["q_indices"] if isinstance(o, dict) else o
+        return np.asarray(a.ravel()[:1])
+
+    out = fn_call(0)
+    force(out)                        # absorb compile + queued work
+    out = fn_call(out)
+    force(out)                        # settled queue at t0
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn_call(out)
+    force(out)
+    dt = (time.perf_counter() - t0) / n * 1e3
+    log(f"device chain {label}: {dt:.1f} ms/frame (n={n})")
+    return dt
+
+
 def main() -> int:
     from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
                                     Mode, Profile, WaveletKernel)
     from vc2tpu.core.picture import Picture
     from vc2tpu.pipeline.encoder import Encoder
-    from vc2tpu.cli.decode_stream import Decoder
-    from vc2tpu.stream.dataunit import PicturePreamble, StreamWriter
-    from vc2tpu.stream.headers import SequenceHeader
+    import jax.numpy as jnp
 
+    tail = {}
     h, w, bits = 1080, 1920, 10
     cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
                         kernel=WaveletKernel.LeGall, wavelet_depth=2,
@@ -87,49 +187,29 @@ def main() -> int:
 
     t0 = time.perf_counter()
     handles = [enc.encode_picture_async(p) for p in pics]
-    encoded = [h() for h in handles]
+    encoded = [hd() for hd in handles]
     enc_fps = len(pics) / (time.perf_counter() - t0)
+    tail["constq_encode_1080p_fps"] = round(enc_fps, 3)
 
-    buf = io.BytesIO()
-    writer = StreamWriter(buf)
-    writer.start_sequence()
-    writer.write_sequence_header(SequenceHeader(
-        profile=Profile.PROFILE_HQ, height=h, width=w,
-        chroma_format=ColourFormat.CF422, interlace=False,
-        frame_rate=FrameRate.FR50, top_field_first=True, bitdepth=bits))
-    for i, e in enumerate(encoded):
-        writer.write_picture(i, PicturePreamble(
-            wavelet_kernel=cfg.kernel, depth=cfg.wavelet_depth,
-            slices_x=enc.geo.x_slices, slices_y=enc.geo.y_slices,
-            slice_prefix=cfg.slice_prefix, slice_size_scalar=cfg.slice_scalar),
-            e.payload, hq=True, slice_sizes=e.slice_totals)
-    writer.end_sequence()
-    stream = buf.getvalue()
-    print(f"bench: stream {len(stream)} bytes, {len(pics)} frames, "
-          f"encode {enc_fps:.2f} fps (ref {BASELINE_ENCODE_FPS}, "
-          f"{enc_fps / BASELINE_ENCODE_FPS:.1f}x)", file=sys.stderr)
+    stream = build_stream(cfg, enc.geo, encoded, h, w, bits,
+                          Profile.PROFILE_HQ, FrameRate.FR50)
+    log(f"stream {len(stream)} bytes, {len(pics)} frames, encode "
+        f"{enc_fps:.2f} fps (ref {BASELINES['constq_encode_1080p_fps']}, "
+        f"{enc_fps / BASELINES['constq_encode_1080p_fps']:.1f}x)")
 
-    class NullSink:
-        def write(self, b):
-            self.n = getattr(self, "n", 0) + len(b)
+    # headline: auto-routed decode, median of 5
+    dec_fps = decode_fps(stream, len(pics), runs=5, label="decode[auto]")
+    tail["hq_decode_1080p_fps"] = round(dec_fps, 3)
+    # the TPU route itself, on the record (link-limited; BASELINE.md
+    # "link ceiling" — the honest device end-to-end number)
+    try:
+        dev_fps = decode_fps(stream, len(pics), route="device", runs=3,
+                             label="decode[device]")
+        tail["hq_decode_1080p_device_fps"] = round(dev_fps, 3)
+    except Exception as exc:
+        log(f"device-route decode skipped ({exc})")
 
-    # warm-up decode (jit compile)
-    dec = Decoder(sink=NullSink())
-    dec.run(stream)
-    assert dec.frames_out == len(pics), (dec.frames_out, len(pics))
-
-    runs = []
-    for _ in range(5):       # median of 5 (honest central estimate; the
-        dec = Decoder(sink=NullSink())   # adaptive route makes decode mostly
-        t0 = time.perf_counter()         # link-independent, see BASELINE.md)
-        dec.run(stream)
-        dt = time.perf_counter() - t0
-        runs.append(dec.frames_out / dt)
-    dec_fps = float(np.median(runs))
-    print(f"bench: decode route={dec._route} runs="
-          f"{[round(r, 2) for r in sorted(runs)]}", file=sys.stderr)
-
-    # secondary: CBR encode (rate-control dominated path)
+    # secondary: CBR encode (rate-control dominated path) + CBR decode
     cbr_cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
                             kernel=WaveletKernel.LeGall, wavelet_depth=2,
                             y_size=2, x_size=2, mode=Mode.HQ_CBR,
@@ -139,15 +219,24 @@ def main() -> int:
     cbr = Encoder(cbr_cfg)
     cbr.encode_picture(pics[0])
     t0 = time.perf_counter()
-    for r in [cbr.encode_picture_async(p) for p in pics[:8]]:
-        r()
+    cbr_encoded = [r() for r in [cbr.encode_picture_async(p)
+                                 for p in pics[:8]]]
     cbr_fps = 8 / (time.perf_counter() - t0)
-    print(f"bench: CBR encode {cbr_fps:.2f} fps (ref {BASELINE_CBR_FPS}, "
-          f"{cbr_fps / BASELINE_CBR_FPS:.0f}x)   decode {dec_fps:.2f} fps "
-          f"(ref {BASELINE_DECODE_FPS}, {dec_fps / BASELINE_DECODE_FPS:.1f}x)",
-          file=sys.stderr)
+    tail["cbr_encode_1080p_fps"] = round(cbr_fps, 3)
+    log(f"CBR encode {cbr_fps:.2f} fps (ref "
+        f"{BASELINES['cbr_encode_1080p_fps']}, "
+        f"{cbr_fps / BASELINES['cbr_encode_1080p_fps']:.0f}x)   decode "
+        f"{dec_fps:.2f} fps (ref {BASELINES['hq_decode_1080p_fps']}, "
+        f"{dec_fps / BASELINES['hq_decode_1080p_fps']:.1f}x)")
+    try:
+        cbr_stream = build_stream(cbr_cfg, cbr.geo, cbr_encoded, h, w, bits,
+                                  Profile.PROFILE_HQ, FrameRate.FR50)
+        tail["cbr_decode_1080p_fps"] = round(
+            decode_fps(cbr_stream, 8, runs=3, label="CBR decode"), 3)
+    except Exception as exc:
+        log(f"CBR decode skipped ({exc})")
 
-    # secondary: LD profile (obsolete; host-routed analysis transform)
+    # secondary: LD profile encode + decode (obsolete profile; host-routed)
     try:
         from vc2tpu.pipeline.ld import LDEncoder
 
@@ -161,16 +250,21 @@ def main() -> int:
         ld = LDEncoder(ld_cfg)
         ld.encode_picture(pics[0])
         t0 = time.perf_counter()
-        for p in pics[:6]:
-            ld.encode_picture(p)
+        ld_encoded = [ld.encode_picture(p) for p in pics[:6]]
         ld_fps = 6 / (time.perf_counter() - t0)
-        print(f"bench: LD encode {ld_fps:.2f} fps (ref {BASELINE_LD_FPS}, "
-              f"{ld_fps / BASELINE_LD_FPS:.1f}x, route={ld._route})",
-              file=sys.stderr)
+        tail["ld_encode_1080p_fps"] = round(ld_fps, 3)
+        log(f"LD encode {ld_fps:.2f} fps (ref "
+            f"{BASELINES['ld_encode_1080p_fps']}, "
+            f"{ld_fps / BASELINES['ld_encode_1080p_fps']:.1f}x, "
+            f"route={ld._route})")
+        ld_stream = build_stream(ld_cfg, ld.geo, ld_encoded, h, w, bits,
+                                 Profile.PROFILE_LD, FrameRate.FR50)
+        tail["ld_decode_1080p_fps"] = round(
+            decode_fps(ld_stream, 6, runs=3, label="LD decode"), 3)
     except Exception as exc:
-        print(f"bench: LD encode skipped ({exc})", file=sys.stderr)
+        log(f"LD encode/decode skipped ({exc})")
 
-    # secondary: 4K CBR encode (BASELINE.json config #4 single-chip leg)
+    # secondary: 4K CBR encode + decode (BASELINE.json config #4 single-chip)
     try:
         k4 = EncoderConfig(height=2160, width=3840,
                            chroma_format=ColourFormat.CF422,
@@ -185,16 +279,84 @@ def main() -> int:
               for (y, c1, c2) in f4]
         enc4.encode_picture(p4[0])
         t0 = time.perf_counter()
-        for r in [enc4.encode_picture_async(p) for p in p4]:
-            r()
+        enc4_res = [r() for r in [enc4.encode_picture_async(p) for p in p4]]
         fps4 = len(p4) / (time.perf_counter() - t0)
-        print(f"bench: 4K CBR encode {fps4:.2f} fps", file=sys.stderr)
+        tail["cbr_encode_4k_fps"] = round(fps4, 3)
+        log(f"4K CBR encode {fps4:.2f} fps")
+        s4 = build_stream(k4, enc4.geo, enc4_res, 2160, 3840, bits,
+                          Profile.PROFILE_HQ, FrameRate.FR50)
+        tail["cbr_decode_4k_fps"] = round(
+            decode_fps(s4, 3, runs=3, label="4K decode"), 3)
     except Exception as exc:                      # secondary must not kill bench
-        print(f"bench: 4K CBR encode skipped ({exc})", file=sys.stderr)
+        log(f"4K CBR encode/decode skipped ({exc})")
 
+    # device-compute-only chains (link excluded): what the chip itself does
+    try:
+        budgets_z = jnp.zeros((enc.geo.n_slices,), jnp.int32)
+        budgets_c = jnp.asarray(cbr.slice_budgets.ravel())
+        (y0, c10, c20), packed10 = enc._put_planes(pics[0])
+
+        def constq_call(prev):
+            dep = (prev["qy"][0, 0] * 0 if isinstance(prev, dict)
+                   else jnp.int32(0))
+            return enc._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+                                budgets_z, packed10=packed10)
+
+        tail["device_constq_analyse_ms"] = round(
+            chain_ms(constq_call, label="ConstQ analyse"), 2)
+
+        def cbr_call(prev):
+            dep = (prev["qy"][0, 0] * 0 if isinstance(prev, dict)
+                   else jnp.int32(0))
+            return cbr._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+                                budgets_c, packed10=packed10)
+
+        tail["device_cbr_analyse_ms"] = round(
+            chain_ms(cbr_call, label="CBR analyse"), 2)
+        tail["device_cbr_search_ms"] = round(max(
+            tail["device_cbr_analyse_ms"]
+            - tail["device_constq_analyse_ms"], 0.0), 2)
+
+        # decode synthesis tail: dequant + IDWT + clip + format, on device
+        from vc2tpu.pipeline.decoder import _synthesis_bytes_fn
+        from vc2tpu.slices.hq import decode_hq_slices
+
+        geo = enc.geo
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        data = decode_hq_slices(np.frombuffer(encoded[0].payload, np.uint8),
+                                geo.n_slices, cfg.slice_prefix,
+                                cfg.slice_scalar, (Ly, Lc, Lc))
+        combined = data.combined
+        if combined is None:
+            combined = np.concatenate([np.asarray(a).ravel()
+                                       for a in data.lanes]).astype(np.int32)
+        comb = jnp.asarray(np.asarray(combined))
+        qi = jnp.asarray(np.asarray(data.q_indices), jnp.int32)
+        qmb = jnp.asarray(enc.qmatrix.astype(np.int32))
+        geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice,
+                   *geo.chroma_slice)
+        out_key = (h, w, h, w // 2)
+        sfn = _synthesis_bytes_fn(cfg.kernel, cfg.wavelet_depth, geo_key,
+                                  out_key, bits, True)
+
+        def synth_call(prev):
+            dep = (prev[0] * 0 if not isinstance(prev, int)
+                   else jnp.uint32(0))
+            return sfn(comb + dep.astype(comb.dtype), qi, qmb)
+
+        tail["device_decode_synth_ms"] = round(
+            chain_ms(synth_call, label="decode synth"), 2)
+    except Exception as exc:
+        log(f"device chains skipped ({exc})")
+
+    vs = {k: round(tail[k] / BASELINES[k], 2)
+          for k in tail if BASELINES.get(k)}
+    print("bench-tail: " + json.dumps({**tail, "vs_baseline": vs}),
+          file=sys.stderr)
     print(json.dumps({"metric": "hq_decode_1080p_fps",
                       "value": round(dec_fps, 3), "unit": "frames/s",
-                      "vs_baseline": round(dec_fps / BASELINE_DECODE_FPS, 3)}))
+                      "vs_baseline": round(dec_fps / 1.32, 3)}))
     return 0
 
 
