@@ -16,9 +16,10 @@ otherwise hide (VERDICT r2 "put the TPU route on the driver record"):
 * constq_encode_1080p_fps, cbr_encode_1080p_fps, ld_encode_1080p_fps,
   cbr_encode_4k_fps
 * device_constq_analyse_ms, device_cbr_analyse_ms, device_cbr_search_ms,
-  device_decode_synth_ms — dependent-op-chain timings finished by a real
-  fetch (jax.block_until_ready does not block through the tunnel), so these
-  are on-chip ms/frame with the link excluded.
+  device_decode_synth_ms — on-chip ms/frame with the link excluded: the
+  dependent chain runs inside one jitted fori_loop dispatch and the slope
+  between two loop lengths cancels dispatch latency and the finishing
+  fetch (jax.block_until_ready does not block through the tunnel).
 
 Baseline denominators: the reference binaries compiled at -O2 on this host,
 measured 2026-08-17 on exactly this content family (BASELINE.md round-2
@@ -137,27 +138,42 @@ def decode_fps(stream, n_frames, route=None, runs=3, label=""):
     return fps
 
 
-def chain_ms(fn_call, n=6, label=""):
-    """Dependent-op-chain device timing: n sequential calls where each
-    input depends on the previous output, finished by a real ONE-ELEMENT
-    fetch of the last output (block_until_ready is a no-op through the
-    tunnel, and fetching a full output would time the link, not the
-    chip). Two settled warm reps drain compiles and any queued work."""
+def chain_ms(step, n_lo=8, n_hi=40, reps=3, label=""):
+    """Device-only ms per step. The dependent chain runs inside ONE jitted
+    ``lax.fori_loop`` dispatch (per-call dispatch through the tunnel costs
+    more than the step itself), and the slope between two loop lengths
+    cancels that single dispatch plus the one-element finishing fetch
+    (block_until_ready is a no-op through the tunnel). ``step`` maps the
+    previous output pytree (None on the first, eager call) to the next
+    output; its data dependency must not be foldable — derive it as
+    ``prev_leaf & 1``, never ``prev_leaf * 0`` (XLA folds integer ``x*0``,
+    hoists the then-invariant body out of the loop, and times nothing)."""
+    import jax
+    from jax import lax
 
-    def force(o):
-        a = o["q_indices"] if isinstance(o, dict) else o
-        return np.asarray(a.ravel()[:1])
+    init = step(None)
+    body = lambda i, c: step(c)
+    run_lo = jax.jit(lambda c: lax.fori_loop(0, n_lo, body, c))
+    run_hi = jax.jit(lambda c: lax.fori_loop(0, n_hi, body, c))
 
-    out = fn_call(0)
-    force(out)                        # absorb compile + queued work
-    out = fn_call(out)
-    force(out)                        # settled queue at t0
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = fn_call(out)
-    force(out)
-    dt = (time.perf_counter() - t0) / n * 1e3
-    log(f"device chain {label}: {dt:.1f} ms/frame (n={n})")
+    def force(c):
+        return np.asarray(jax.tree_util.tree_leaves(c)[0].ravel()[:1])
+
+    force(run_lo(init))
+    force(run_hi(init))               # absorb both compiles
+    times = {}
+    for nm, run in (("lo", run_lo), ("hi", run_hi)):
+        best = float("inf")
+        c = init
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c = run(c)
+            force(c)
+            best = min(best, time.perf_counter() - t0)
+        times[nm] = best
+    dt = max((times["hi"] - times["lo"]) / (n_hi - n_lo) * 1e3, 0.0)
+    log(f"device chain {label}: {dt:.2f} ms/step (lo {times['lo']*1e3:.0f} ms"
+        f"/{n_lo}, hi {times['hi']*1e3:.0f} ms/{n_hi})")
     return dt
 
 
@@ -297,8 +313,7 @@ def main() -> int:
         (y0, c10, c20), packed10 = enc._put_planes(pics[0])
 
         def constq_call(prev):
-            dep = (prev["qy"][0, 0] * 0 if isinstance(prev, dict)
-                   else jnp.int32(0))
+            dep = jnp.int32(0) if prev is None else (prev["qy"][0, 0] & 1)
             return enc._analyse(y0 + dep.astype(y0.dtype), c10, c20,
                                 budgets_z, packed10=packed10)
 
@@ -306,8 +321,7 @@ def main() -> int:
             chain_ms(constq_call, label="ConstQ analyse"), 2)
 
         def cbr_call(prev):
-            dep = (prev["qy"][0, 0] * 0 if isinstance(prev, dict)
-                   else jnp.int32(0))
+            dep = jnp.int32(0) if prev is None else (prev["qy"][0, 0] & 1)
             return cbr._analyse(y0 + dep.astype(y0.dtype), c10, c20,
                                 budgets_c, packed10=packed10)
 
@@ -340,9 +354,11 @@ def main() -> int:
         sfn = _synthesis_bytes_fn(cfg.kernel, cfg.wavelet_depth, geo_key,
                                   out_key, bits, True)
 
+        import jax
+
         def synth_call(prev):
-            dep = (prev[0] * 0 if not isinstance(prev, int)
-                   else jnp.uint32(0))
+            dep = (jnp.uint32(0) if prev is None
+                   else (jax.tree_util.tree_leaves(prev)[0].ravel()[0] & 1))
             return sfn(comb + dep.astype(comb.dtype), qi, qmb)
 
         tail["device_decode_synth_ms"] = round(

@@ -10,7 +10,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from vc2tpu.quant.quantiser import (QUANT_FACTORS_I32, QUANT_OFFSETS, quant,
+from vc2tpu.quant.quantiser import (ABS_QF_I32, QUANT_FACTORS_I32,
+                                    QUANT_OFFSETS, RECIP_QF_F32, banded_aq,
+                                    banded_lookup, pack_tables, quant,
                                     quant_banded, scale, scale_banded)
 
 
@@ -78,6 +80,40 @@ def test_scale_exact(sweep):
     got = np.asarray(scale(V, Q))
     exp = np.array([[ref_scale(int(v), int(q)) for v in vals] for q in qs])
     assert np.array_equal(got, exp)
+
+
+def test_banded_lookup_exact():
+    """The one-hot MXU table lookup must equal the gather it replaces for
+    every q (including out-of-domain values, which clamp like banded_aq)
+    and a quant matrix reaching the spec's maximum default entry (30)."""
+    rng = np.random.default_rng(11)
+    qm = jnp.asarray(np.array([0, 3, 5, 5, 7, 30, 11], np.int32))
+    q = jnp.asarray(np.concatenate([
+        np.arange(-4, 260), rng.integers(0, 127, 400)]).astype(np.int32))
+    tables = (ABS_QF_I32, RECIP_QF_F32, QUANT_FACTORS_I32, QUANT_OFFSETS)
+    got = np.asarray(banded_lookup(q, qm, pack_tables(*tables)))
+    aq = np.asarray(banded_aq(q, qm))
+    for i, t in enumerate(tables):
+        want = np.ascontiguousarray(t).view(np.uint32)[aq]
+        assert np.array_equal(got[..., i].astype(np.int64) & 0xFFFFFFFF,
+                              want.astype(np.int64)), f"table {i} diverges"
+
+
+def test_mxu_route_parity(sweep, monkeypatch):
+    """quant_banded/scale_banded bit-identical on the MXU-lookup and gather
+    routes (the production TPU route vs the CPU/test route)."""
+    vals, qs, V, Q = sweep
+    n = V.shape[1]
+    sizes = (n // 2, n - n // 2)
+    qm = jnp.asarray(np.array([2, 9], np.int32))
+    q_per_row = jnp.asarray(qs)
+    out = {}
+    for route in ("0", "1"):
+        monkeypatch.setenv("VC2TPU_MXU_TABLES", route)
+        out[route] = (np.asarray(quant_banded(V, q_per_row, qm, sizes)),
+                      np.asarray(scale_banded(V, q_per_row, qm, sizes)))
+    assert np.array_equal(out["0"][0], out["1"][0])
+    assert np.array_equal(out["0"][1], out["1"][1])
 
 
 def test_banded_matches_elementwise(sweep):

@@ -94,6 +94,25 @@ def test_search_threshold_matches_reference():
     assert np.array_equal(got, want)
 
 
+def test_search_mxu_route_parity(monkeypatch):
+    """The full CBR search (probes + climb) must decide identically on the
+    MXU table-lookup route (production TPU) and the gather route (CPU)."""
+    rng = np.random.default_rng(19)
+    qm = matrices.quant_matrix(WaveletKernel.LeGall, 2).astype(np.int32)
+    n = 72
+    ly = _adversarial_lanes(rng, n, sum(BS_Y), 2 ** 14)
+    lu = _adversarial_lanes(rng, n, sum(BS_C), 2 ** 12)
+    lv = _adversarial_lanes(rng, n, sum(BS_C), 2 ** 12)
+    jy, ju, jv = jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv)
+    budgets = jnp.asarray(rng.integers(5, 220, n).astype(np.int32))
+    out = {}
+    for route in ("0", "1"):
+        monkeypatch.setenv("VC2TPU_MXU_TABLES", route)
+        out[route] = np.asarray(cbr_quant_indices(
+            jy, ju, jv, jnp.asarray(qm), BS_Y, BS_C, budgets, 2))
+    assert np.array_equal(out["0"], out["1"])
+
+
 def test_search_with_climb_bounds():
     """With live luma the climb only raises q above the reference search
     threshold, never lowers it below."""

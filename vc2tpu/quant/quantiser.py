@@ -19,8 +19,12 @@ device we clamp the lookup and flag overflow host-side.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 # VC-2 quantisation factor table, quant_factor(q) for q in [0, 119]
 # (SMPTE ST 2042-1; reference Quantisation.cpp:42-59).
@@ -159,6 +163,62 @@ def scale(values, q_indices):
 # the quant matrix is constant within a subband, so every per-element table
 # lookup can become a (slices, bands) lookup broadcast along static band
 # extents — TPU gathers are the hot-loop cost, broadcasts are free.
+#
+# Even the (slices, bands) gather is the dominant cost of the CBR search on
+# TPU: the op-level fusion profile measures ~7 ns/element for a
+# one-element-per-(slice, band) gather, ~50x the surrounding arithmetic
+# (BASELINE.md "CBR search op profile"). banded_lookup below therefore routes
+# the lookup through the MXU instead: one-hot(q) @ byte-split table planes.
+# This is exact, not approximate — one-hot entries and byte values < 256 are
+# exactly representable in bfloat16, and each output row accumulates exactly
+# one non-zero product, so the float32 accumulator only ever sees one exact
+# value. The gather form is kept as the CPU route (XLA:CPU gathers are cheap
+# and its matmuls are not) and as the oracle for exactness tests.
+
+_OH_ROWS = 192   # one-hot q domain; lookups stay exact while every quant
+                 # matrix entry is <= _OH_ROWS - 1 - MAX_QINDEX = 72 (the
+                 # spec's default matrices max out at 30 for depth <= 6,
+                 # wavelet/matrices.py; custom matrices are rejected upstream)
+
+
+def mxu_tables_enabled() -> bool:
+    """Trace-time route choice: MXU lookup on accelerators, gathers on CPU.
+    VC2TPU_MXU_TABLES=0/1 forces (tests cover both routes explicitly)."""
+    v = os.environ.get("VC2TPU_MXU_TABLES")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() != "cpu"
+
+
+def pack_tables(*tables) -> np.ndarray:
+    """Byte-split plane matrix for banded_lookup: float32 (120, 4*T) whose
+    row q holds the 4 little-endian bytes of each table's bit pattern."""
+    planes = []
+    for t in tables:
+        u = np.ascontiguousarray(t).view(np.uint32)
+        planes.append(np.stack([(u >> (8 * k)) & 0xFF for k in range(4)],
+                               axis=-1))
+    return np.concatenate(planes, axis=-1).astype(np.float32)
+
+
+def banded_lookup(q, qm_bands, planes):
+    """int32 bit patterns of each packed table at clamp(q - qm, 0, 119).
+
+    q: int32 quant indices, any shape, any values (clamped as banded_aq);
+    qm_bands: (B,) int32 quant matrix; planes: pack_tables output.
+    Returns int32 (q.shape..., B, T). Bit-exact vs TABLE[banded_aq(q, qm)]
+    (tests/test_quant_exact.py::test_banded_lookup_exact).
+    """
+    r = jnp.arange(_OH_ROWS, dtype=jnp.int32)
+    remap = jnp.clip(r[:, None] - qm_bands, 0, MAX_QINDEX)       # (R, B)
+    packed = jnp.asarray(planes, jnp.bfloat16)[remap]            # (R, B, 4T)
+    packed = packed.reshape(_OH_ROWS, -1)
+    qflat = jnp.clip(q, 0, _OH_ROWS - 1).reshape(-1)
+    oh = (qflat[:, None] == r).astype(jnp.bfloat16)              # (M, R)
+    f = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+    b = f.astype(jnp.int32).reshape(q.shape + (qm_bands.shape[0], -1, 4))
+    return (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+            | (b[..., 3] << 24))
 
 def expand_bands(p, band_sizes: tuple):
     """(..., B) per-band values -> (..., L) per-lane values."""
@@ -172,21 +232,47 @@ def banded_aq(q, qm_bands):
     return jnp.clip(q[..., None] - qm_bands, 0, MAX_QINDEX).astype(jnp.int32)
 
 
+_QUANT_PACK = pack_tables(ABS_QF_I32, RECIP_QF_F32, QUANT_FACTORS_I32)
+_SCALE_PACK = pack_tables(QUANT_FACTORS_I32, QUANT_OFFSETS)
+
+
+def quant_tables(q, qm_bands):
+    """(absqf, recip, wrapped) per (..., band) at the adjusted indices,
+    routed per mxu_tables_enabled()."""
+    if mxu_tables_enabled():
+        t = banded_lookup(q, qm_bands, _QUANT_PACK)
+        return (t[..., 0],
+                lax.bitcast_convert_type(t[..., 1], jnp.float32),
+                t[..., 2])
+    aq = banded_aq(q, qm_bands)
+    return (jnp.asarray(ABS_QF_I32)[aq], jnp.asarray(RECIP_QF_F32)[aq],
+            jnp.asarray(QUANT_FACTORS_I32)[aq])
+
+
+def scale_tables(q, qm_bands):
+    """(wrapped, offset) per (..., band) at the adjusted indices."""
+    if mxu_tables_enabled():
+        t = banded_lookup(q, qm_bands, _SCALE_PACK)
+        return t[..., 0], t[..., 1]
+    aq = banded_aq(q, qm_bands)
+    return jnp.asarray(QUANT_FACTORS_I32)[aq], jnp.asarray(QUANT_OFFSETS)[aq]
+
+
 def quant_banded(values, q, qm_bands, band_sizes: tuple):
     """quant() with per-slice q (..., N) against band-contiguous lanes
     (..., N, L); qm_bands is the (B,) quant matrix."""
-    aq = banded_aq(q, qm_bands)
-    absqf = expand_bands(jnp.asarray(ABS_QF_I32)[aq], band_sizes)
-    recip = expand_bands(jnp.asarray(RECIP_QF_F32)[aq], band_sizes)
-    neg = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq] < 0, band_sizes)
+    absqf_b, recip_b, wrapped_b = quant_tables(q, qm_bands)
+    absqf = expand_bands(absqf_b, band_sizes)
+    recip = expand_bands(recip_b, band_sizes)
+    neg = expand_bands(wrapped_b < 0, band_sizes)
     return _quant_core(values.astype(jnp.int32), absqf, recip, neg)
 
 
 def scale_banded(values, q, qm_bands, band_sizes: tuple):
     """scale() with per-slice q against band-contiguous lanes."""
-    aq = banded_aq(q, qm_bands)
-    qf = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq], band_sizes)
-    qo = expand_bands(jnp.asarray(QUANT_OFFSETS)[aq], band_sizes)
+    qf_b, qo_b = scale_tables(q, qm_bands)
+    qf = expand_bands(qf_b, band_sizes)
+    qo = expand_bands(qo_b, band_sizes)
     return _scale_core(values.astype(jnp.int32), qf, qo)
 
 

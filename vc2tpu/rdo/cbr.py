@@ -32,11 +32,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from vc2tpu.quant.quantiser import (ABS_QF_I32, QUANT_FACTORS_I32,
                                     QUANT_OFFSETS, RECIP_QF_F32, _quant_core,
-                                    _scale_core, banded_aq, expand_bands,
-                                    quant_banded, signed_vlc_numbits)
+                                    _scale_core, banded_aq, banded_lookup,
+                                    expand_bands, mxu_tables_enabled,
+                                    pack_tables, quant_banded,
+                                    signed_vlc_numbits)
 
 # Static sizing tables over the adjusted-quantiser domain [0, 119]:
 # |quant_factor| (as the quantiser's clamped ABS_QF_I32), its bit length,
@@ -44,6 +47,37 @@ from vc2tpu.quant.quantiser import (ABS_QF_I32, QUANT_FACTORS_I32,
 _ABS_QF_U32 = ABS_QF_I32.astype(np.uint32)
 _BL_QF = np.array([int(x).bit_length() for x in _ABS_QF_U32], np.int32)
 _QF_NORM = (_ABS_QF_U32 << (32 - _BL_QF)).astype(np.uint32)
+
+# One-hot-matmul plane packs (quantiser.banded_lookup): the per-(slice, band)
+# table gathers measured ~7 ns/element and were ~90% of the whole search's
+# device time — the MXU lookup removes them from the probe passes, the hill
+# climb and the final quantise alike.
+_SIZING_PACK = pack_tables(_ABS_QF_U32, _BL_QF, _QF_NORM)
+_YSS_PACK = pack_tables(ABS_QF_I32, RECIP_QF_F32, QUANT_FACTORS_I32,
+                        QUANT_OFFSETS)
+
+
+def _sizing_tables(q, qm_bands):
+    """(|qf| u32, bitlength, mantissa u32) per (N, band), gather-free on
+    accelerators (route: quantiser.mxu_tables_enabled)."""
+    if mxu_tables_enabled():
+        t = banded_lookup(q, qm_bands, _SIZING_PACK)
+        return (lax.bitcast_convert_type(t[..., 0], jnp.uint32), t[..., 1],
+                lax.bitcast_convert_type(t[..., 2], jnp.uint32))
+    aq = banded_aq(q, qm_bands)
+    return (jnp.asarray(_ABS_QF_U32)[aq], jnp.asarray(_BL_QF)[aq],
+            jnp.asarray(_QF_NORM)[aq])
+
+
+def _yss_tables(q, qm_bands):
+    """(absqf, recip, wrapped, offset) per (N, band) for the hill climb."""
+    if mxu_tables_enabled():
+        t = banded_lookup(q, qm_bands, _YSS_PACK)
+        return (t[..., 0], lax.bitcast_convert_type(t[..., 1], jnp.float32),
+                t[..., 2], t[..., 3])
+    aq = banded_aq(q, qm_bands)
+    return (jnp.asarray(ABS_QF_I32)[aq], jnp.asarray(RECIP_QF_F32)[aq],
+            jnp.asarray(QUANT_FACTORS_I32)[aq], jnp.asarray(QUANT_OFFSETS)[aq])
 
 
 def _magnitude_forms(lanes):
@@ -97,9 +131,7 @@ def _component_bits_fast(forms, tables, band_sizes):
 def _slice_bytes_fast(q, forms_y, forms_u, forms_v, qm_bands, bs_y, bs_c,
                       scalar: int):
     """Scaled byte size of every slice at per-slice quantiser q (n,)."""
-    aq = banded_aq(q, qm_bands)
-    tables = (jnp.asarray(_ABS_QF_U32)[aq], jnp.asarray(_BL_QF)[aq],
-              jnp.asarray(_QF_NORM)[aq])
+    tables = _sizing_tables(q, qm_bands)
 
     def comp(forms, bs):
         count = _component_bits_fast(forms, tables, bs)
@@ -135,13 +167,13 @@ def _slice_bytes_at(q, lanes_y, lanes_u, lanes_v, qm_bands, bs_y, bs_c,
 
 def _yss(lanes_y, q, qm_bands, bs_y):
     """Luma sum-of-squared reconstruction error at quantiser q (int64).
-    Quantise + rescale with ONE adjusted-index computation and a shared
-    wrapped-factor gather (quant needs its sign, scale its value)."""
-    aq = banded_aq(q, qm_bands)
-    absqf = expand_bands(jnp.asarray(ABS_QF_I32)[aq], bs_y)
-    recip = expand_bands(jnp.asarray(RECIP_QF_F32)[aq], bs_y)
-    wrapped = expand_bands(jnp.asarray(QUANT_FACTORS_I32)[aq], bs_y)
-    qo = expand_bands(jnp.asarray(QUANT_OFFSETS)[aq], bs_y)
+    Quantise + rescale with ONE shared table fetch (quant needs the wrapped
+    factor's sign, scale its value)."""
+    absqf_b, recip_b, wrapped_b, qo_b = _yss_tables(q, qm_bands)
+    absqf = expand_bands(absqf_b, bs_y)
+    recip = expand_bands(recip_b, bs_y)
+    wrapped = expand_bands(wrapped_b, bs_y)
+    qo = expand_bands(qo_b, bs_y)
     qv = _quant_core(lanes_y.astype(jnp.int32), absqf, recip, wrapped < 0)
     rec = _scale_core(qv, wrapped, qo)
     d = (lanes_y - rec).astype(jnp.int64)
