@@ -331,6 +331,27 @@ def main() -> int:
             tail["device_cbr_analyse_ms"]
             - tail["device_constq_analyse_ms"], 0.0), 2)
 
+        # full on-chip encode step (analyse + entropy pack): the fps the
+        # chip itself sustains for CBR encode once the link is PCIe-class
+        from vc2tpu.vlc import device_pack
+
+        ccfg = cbr.cfg
+
+        def encstep_call(prev):
+            dep = (jnp.int32(0) if prev is None
+                   else (prev.ravel()[-1] & 1).astype(jnp.int32))
+            r = cbr._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+                             budgets_c, packed10=packed10)
+            return device_pack.pack_hq_payload(
+                r["qy"], r["qu"], r["qv"], r["q_indices"], budgets_c,
+                prefix=ccfg.slice_prefix, scalar=ccfg.slice_scalar,
+                w32=cbr._w32, cap_bytes=cbr._cap, cbr=True)
+
+        step_ms = chain_ms(encstep_call, label="CBR encode step")
+        tail["device_cbr_encode_step_ms"] = round(step_ms, 2)
+        if step_ms > 0:
+            tail["device_cbr_encode_fps_per_chip"] = round(1000.0 / step_ms, 1)
+
         # decode synthesis tail: dequant + IDWT + clip + format, on device
         from vc2tpu.pipeline.decoder import _synthesis_bytes_fn
         from vc2tpu.slices.hq import decode_hq_slices
