@@ -352,6 +352,31 @@ def main() -> int:
         if step_ms > 0:
             tail["device_cbr_encode_fps_per_chip"] = round(1000.0 / step_ms, 1)
 
+        # same, at 4K (BASELINE config #4): scaling of the on-chip step
+        try:
+            (y4, c14, c24), packed4 = enc4._put_planes(p4[0])
+            budgets4 = jnp.asarray(enc4.slice_budgets.ravel())
+            cfg4 = enc4.cfg
+
+            def encstep4_call(prev):
+                dep = (jnp.int32(0) if prev is None
+                       else (prev.ravel()[-1] & 1).astype(jnp.int32))
+                r = enc4._analyse(y4 + dep.astype(y4.dtype), c14, c24,
+                                  budgets4, packed10=packed4)
+                return device_pack.pack_hq_payload(
+                    r["qy"], r["qu"], r["qv"], r["q_indices"], budgets4,
+                    prefix=cfg4.slice_prefix, scalar=cfg4.slice_scalar,
+                    w32=enc4._w32, cap_bytes=enc4._cap, cbr=True)
+
+            ms4 = chain_ms(encstep4_call, n_lo=4, n_hi=16,
+                           label="4K CBR encode step")
+            tail["device_cbr_encode_step_4k_ms"] = round(ms4, 2)
+            if ms4 > 0:
+                tail["device_cbr_encode_4k_fps_per_chip"] = round(
+                    1000.0 / ms4, 1)
+        except Exception as exc:
+            log(f"4K device chain skipped ({exc})")
+
         # decode synthesis tail: dequant + IDWT + clip + format, on device
         from vc2tpu.pipeline.decoder import _synthesis_bytes_fn
         from vc2tpu.slices.hq import decode_hq_slices

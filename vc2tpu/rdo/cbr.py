@@ -18,7 +18,7 @@ m = (|v|<<2) // qf, and that is recovered exactly from precomputed
 quant_factor table — floor(log2(m4/qf)) comes from a bitlength difference
 plus one normalised uint32 compare, then a single multiply-free
 shift-compare settles whether m+1 is exactly a power of two
-(_sizes_components below). ~3x cheaper per trial than running the
+(_component_bits_fast below). ~3x cheaper per trial than running the
 reciprocal-division quantiser, and bit-identical: tests/test_rdo.py checks
 it against the real quantise+count over adversarial lanes.
 
