@@ -1027,6 +1027,150 @@ static void step_vert(int32_t* base, int64_t row_pitch, int64_t t_parity,
   }
 }
 
+// Parsed lifting step (one predict/update pass of a ladder).
+struct StepDef {
+  int t, sign, add, shift, nt;
+  int32_t offs[8], coeffs[8];
+  int lo, hi;                       // tap offset reach in parity-row space
+};
+
+static void parse_steps(const int32_t* meta, const int32_t* taps,
+                        int64_t n_steps, StepDef* st) {
+  const int32_t* tp = taps;
+  for (int64_t k = 0; k < n_steps; ++k) {
+    const int32_t* m = meta + k * 5;
+    st[k].t = m[0]; st[k].sign = m[1]; st[k].add = m[2];
+    st[k].shift = m[3]; st[k].nt = m[4];
+    st[k].lo = 0; st[k].hi = 0;
+    for (int j = 0; j < st[k].nt; ++j) {
+      st[k].offs[j] = tp[2 * j]; st[k].coeffs[j] = tp[2 * j + 1];
+      if (st[k].offs[j] < st[k].lo) st[k].lo = st[k].offs[j];
+      if (st[k].offs[j] > st[k].hi) st[k].hi = st[k].offs[j];
+    }
+    tp += 2 * st[k].nt;
+  }
+}
+
+// Wavefront row lags for running every vertical step of a ladder in ONE
+// sweep down the plane (step k processes target row m - L[k] at outer index
+// m). Sequential-pass semantics are preserved by ordering each pair of
+// steps around their data hazards, in target-parity row space:
+//   RAW  (k reads the parity k' writes):  L_k >= L_k' + max(hi_k, 0) + 1
+//   WAR  (k writes the parity k' reads):  L_k >= L_k' + max(-lo_k', 0) + 1
+//   WAW  (same target parity):            L_k >= L_k' + 1
+// Edge-clamped taps stay safe: a high clamp to the last source row only
+// happens for targets within hi of the end, which the lag already orders
+// after that source row's final update.
+static void vertical_lags(const StepDef* st, int64_t n_steps, int64_t base,
+                          int64_t* L) {
+  for (int64_t k = 0; k < n_steps; ++k) {
+    int64_t l = base;               // lag vs the pre-ladder row state
+    for (int64_t p = 0; p < k; ++p) {
+      int64_t c;
+      if (st[p].t != st[k].t) {
+        int64_t raw = L[p] + (st[k].hi > 0 ? st[k].hi : 0) + 1;
+        int64_t war = L[p] + (st[p].lo < 0 ? -st[p].lo : 0) + 1;
+        c = raw > war ? raw : war;
+      } else {
+        c = L[p] + 1;
+      }
+      if (c > l) l = c;
+    }
+    L[k] = l;
+  }
+}
+
+// One vertical lifting step applied to ONE target row (index i in the
+// target-parity sub-lattice) — the single-row body of step_rows_vert.
+template <int NT>
+static inline void vert_row(int32_t* base, int64_t row_pitch, const StepDef& S,
+                            int64_t i, int64_t n_src, int64_t wlen,
+                            int64_t es) {
+  const int32_t* srow[NT];
+  int32_t* tgt = base + (2 * i + S.t) * row_pitch;
+  for (int k = 0; k < NT; ++k) {
+    int64_t j = i + S.offs[k];
+    if (j < 0) j = 0; else if (j >= n_src) j = n_src - 1;
+    srow[k] = base + (2 * j + (1 - S.t)) * row_pitch;
+  }
+  const int sign = S.sign, add = S.add, shift = S.shift;
+  if (es == 1) {
+#pragma GCC ivdep
+    for (int64_t x = 0; x < wlen; ++x) {
+      int32_t a = add;
+      for (int k = 0; k < NT; ++k) a += S.coeffs[k] * srow[k][x];
+      tgt[x] += sign * (a >> shift);
+    }
+  } else {
+    for (int64_t x = 0; x < wlen; ++x) {
+      int32_t a = add;
+      for (int k = 0; k < NT; ++k) a += S.coeffs[k] * srow[k][x * es];
+      tgt[x * es] += sign * (a >> shift);
+    }
+  }
+}
+
+static inline void vert_row_n(int32_t* base, int64_t row_pitch,
+                              const StepDef& S, int64_t i, int64_t n_src,
+                              int64_t wlen, int64_t es) {
+  switch (S.nt) {
+    case 1: vert_row<1>(base, row_pitch, S, i, n_src, wlen, es); break;
+    case 2: vert_row<2>(base, row_pitch, S, i, n_src, wlen, es); break;
+    case 4: vert_row<4>(base, row_pitch, S, i, n_src, wlen, es); break;
+    case 8: vert_row<8>(base, row_pitch, S, i, n_src, wlen, es); break;
+    default: break;  // tap counts are 1/2/4/8 in every VC-2 kernel
+  }
+}
+
+// Full horizontal ladder on ONE physical row: deinterleave the parity
+// halves into contiguous scratch (applying the accuracy shift-in for the
+// forward transform), run the steps, apply the rounded shift-out for the
+// inverse, interleave back.
+static void horiz_row(int32_t* row, int64_t s, int64_t ws, const StepDef* st,
+                      int64_t n_steps, int32_t* tmp, int64_t shift_out,
+                      int64_t shift_in) {
+  const int64_t ne_c = (ws + 1) / 2, no_c = ws / 2;
+  int32_t* e = tmp;
+  int32_t* o = tmp + ne_c;
+  if (shift_in) {
+    if (s == 1) {
+      for (int64_t i = 0; i < no_c; ++i) {
+        e[i] = row[2 * i] << shift_in; o[i] = row[2 * i + 1] << shift_in;
+      }
+      if (ws & 1) e[ne_c - 1] = row[ws - 1] << shift_in;
+    } else {
+      for (int64_t i = 0; i < no_c; ++i) {
+        e[i] = row[2 * i * s] << shift_in;
+        o[i] = row[(2 * i + 1) * s] << shift_in;
+      }
+      if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s] << shift_in;
+    }
+  } else if (s == 1) {
+    for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i]; o[i] = row[2 * i + 1]; }
+    if (ws & 1) e[ne_c - 1] = row[ws - 1];
+  } else {
+    for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i * s]; o[i] = row[(2 * i + 1) * s]; }
+    if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s];
+  }
+  for (int64_t k = 0; k < n_steps; ++k) {
+    const StepDef& S = st[k];
+    if (S.t) step_1d(o, e, no_c, ne_c, S.nt, S.offs, S.coeffs, S.sign, S.add, S.shift);
+    else     step_1d(e, o, ne_c, no_c, S.nt, S.offs, S.coeffs, S.sign, S.add, S.shift);
+  }
+  if (shift_out) {
+    const int32_t half = 1 << (shift_out - 1);
+    for (int64_t i = 0; i < ne_c; ++i) e[i] = (e[i] + half) >> shift_out;
+    for (int64_t i = 0; i < no_c; ++i) o[i] = (o[i] + half) >> shift_out;
+  }
+  if (s == 1) {
+    for (int64_t i = 0; i < no_c; ++i) { row[2 * i] = e[i]; row[2 * i + 1] = o[i]; }
+    if (ws & 1) row[ws - 1] = e[ne_c - 1];
+  } else {
+    for (int64_t i = 0; i < no_c; ++i) { row[2 * i * s] = e[i]; row[(2 * i + 1) * s] = o[i]; }
+    if (ws & 1) row[(ws - 1) * s] = e[ne_c - 1];
+  }
+}
+
 // Inverse DWT over an in-place transform-layout plane. ``meta``/``taps``
 // encode the ALREADY-INVERTED ladder (reversed order, flipped sign):
 // meta[s*5..] = {target parity (0=e,1=o), sign, add, shift, ntaps};
@@ -1043,61 +1187,24 @@ EXPORT void idwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
     tmp_cap = W + 16;
     tmp = new int32_t[tmp_cap];
   }
+  StepDef st[16];
+  parse_steps(meta, taps, n_steps, st);
   for (int64_t level = depth - 1; level >= 0; --level) {
     const int64_t s = int64_t(1) << level;
     const int64_t hs = H >> level, ws = W >> level;
     const int64_t row_pitch = s * W;
     const int64_t ne_r = (hs + 1) / 2, no_r = hs / 2;
-    // vertical passes
-    {
-      const int32_t* tp = taps;
-      for (int64_t st = 0; st < n_steps; ++st) {
-        const int32_t* m = meta + st * 5;
-        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
-        int32_t offs[8], coeffs[8];
-        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
-        tp += 2 * nt;
-        step_vert(plane, row_pitch, t, t ? no_r : ne_r, t ? ne_r : no_r,
-                  ws, s, nt, offs, coeffs, sign, add, sh);
-      }
-    }
-    // horizontal passes: deinterleave each sub-lattice row once, run the
-    // whole ladder on contiguous halves, interleave back
-    const int64_t ne_c = (ws + 1) / 2, no_c = ws / 2;
-    for (int64_t r = 0; r < hs; ++r) {
-      int32_t* row = plane + r * row_pitch;
-      int32_t* e = tmp;
-      int32_t* o = tmp + ne_c;
-      if (s == 1) {
-        for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i]; o[i] = row[2 * i + 1]; }
-        if (ws & 1) e[ne_c - 1] = row[ws - 1];
-      } else {
-        for (int64_t i = 0; i < no_c; ++i) { e[i] = row[2 * i * s]; o[i] = row[(2 * i + 1) * s]; }
-        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s];
-      }
-      const int32_t* tp = taps;
-      for (int64_t st = 0; st < n_steps; ++st) {
-        const int32_t* m = meta + st * 5;
-        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
-        int32_t offs[8], coeffs[8];
-        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
-        tp += 2 * nt;
-        if (t) step_1d(o, e, no_c, ne_c, nt, offs, coeffs, sign, add, sh);
-        else   step_1d(e, o, ne_c, no_c, nt, offs, coeffs, sign, add, sh);
-      }
-      if (shift_out) {
-        const int32_t half = 1 << (shift_out - 1);
-        for (int64_t i = 0; i < ne_c; ++i) e[i] = (e[i] + half) >> shift_out;
-        for (int64_t i = 0; i < no_c; ++i) o[i] = (o[i] + half) >> shift_out;
-      }
-      if (s == 1) {
-        for (int64_t i = 0; i < no_c; ++i) { row[2 * i] = e[i]; row[2 * i + 1] = o[i]; }
-        if (ws & 1) row[ws - 1] = e[ne_c - 1];
-      } else {
-        for (int64_t i = 0; i < no_c; ++i) { row[2 * i * s] = e[i]; row[(2 * i + 1) * s] = o[i]; }
-        if (ws & 1) row[(ws - 1) * s] = e[ne_c - 1];
-      }
-    }
+    // vertical passes (separate sweeps measure as fast as a fused wavefront
+    // here — the inverse is compute-bound on this ladder order; the forward
+    // in dwt_plane below is the one that wins from fusion)
+    for (int64_t k = 0; k < n_steps; ++k)
+      step_vert(plane, row_pitch, st[k].t, st[k].t ? no_r : ne_r,
+                st[k].t ? ne_r : no_r, ws, s, st[k].nt, st[k].offs,
+                st[k].coeffs, st[k].sign, st[k].add, st[k].shift);
+    // horizontal: deinterleave each sub-lattice row once, run the whole
+    // ladder on contiguous halves, apply shift-out, interleave back
+    for (int64_t r = 0; r < hs; ++r)
+      horiz_row(plane + r * row_pitch, s, ws, st, n_steps, tmp, shift_out, 0);
   }
 }
 
@@ -1305,9 +1412,18 @@ EXPORT int ld_pack(const int32_t* q_idx, const int32_t* ly,
 // Forward twin of idwt_plane: per level shift-in, horizontal ladder, then
 // vertical ladder (reference waveletTransform, WaveletTransform.cpp:262-281
 // over the per-kernel forward ladders). ``meta``/``taps`` encode the FORWARD
-// steps verbatim from wavelet.lifting._STEPS. Used by the LD link-failover
-// encode route (the analysis transform runs where the coefficients are
-// consumed when the device link is slower than one core).
+// steps verbatim from wavelet.lifting._STEPS. Used by the ConstQ and LD
+// link-failover encode routes (the analysis transform runs where the
+// coefficients are consumed when the device link is slower than one core).
+//
+// The whole level runs as ONE wavefront sweep down the plane: the
+// horizontal ladder leads (completing physical rows 2m and 2m+1 at outer
+// index m) and every vertical step trails it at its hazard lag
+// (vertical_lags above), so each row is read into cache and written back
+// once per level instead of once per pass. Bit-identical to the separate
+// sweeps — the lags reproduce sequential-pass semantics exactly — and
+// measured 1.2-1.4x at 1080p, 1.9x at 4K (BASELINE.md round-3 host
+// profile); the inverse keeps separate sweeps, which measure equal there.
 EXPORT void dwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
                       const int32_t* meta, const int32_t* taps,
                       int64_t n_steps, int64_t shift_in) {
@@ -1318,57 +1434,34 @@ EXPORT void dwt_plane(int32_t* plane, int64_t H, int64_t W, int64_t depth,
     tmp_cap = W + 16;
     tmp = new int32_t[tmp_cap];
   }
+  StepDef st[16];
+  parse_steps(meta, taps, n_steps, st);
+  // every vertical step reads rows the horizontal head must have finished:
+  // lag the first by the ladder's forward reach, the rest by their hazards
+  int64_t base = 1;
+  for (int64_t k = 0; k < n_steps; ++k)
+    if (st[k].hi + 1 > base) base = st[k].hi + 1;
+  int64_t L[16];
+  vertical_lags(st, n_steps, base, L);
+  int64_t Lmax = 0;
+  for (int64_t k = 0; k < n_steps; ++k) if (L[k] > Lmax) Lmax = L[k];
   for (int64_t level = 0; level < depth; ++level) {
     const int64_t s = int64_t(1) << level;
     const int64_t hs = H >> level, ws = W >> level;
     const int64_t row_pitch = s * W;
-    const int64_t ne_c = (ws + 1) / 2, no_c = ws / 2;
-    // horizontal passes (with the accuracy shift folded into the same
-    // deinterleave pass)
-    for (int64_t r = 0; r < hs; ++r) {
-      int32_t* row = plane + r * row_pitch;
-      int32_t* e = tmp;
-      int32_t* o = tmp + ne_c;
-      if (shift_in) {
-        for (int64_t i = 0; i < no_c; ++i) {
-          e[i] = row[2 * i * s] << shift_in;
-          o[i] = row[(2 * i + 1) * s] << shift_in;
-        }
-        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s] << shift_in;
-      } else {
-        for (int64_t i = 0; i < no_c; ++i) {
-          e[i] = row[2 * i * s];
-          o[i] = row[(2 * i + 1) * s];
-        }
-        if (ws & 1) e[ne_c - 1] = row[(ws - 1) * s];
-      }
-      const int32_t* tp = taps;
-      for (int64_t st = 0; st < n_steps; ++st) {
-        const int32_t* m = meta + st * 5;
-        const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
-        int32_t offs[8], coeffs[8];
-        for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
-        tp += 2 * nt;
-        if (t) step_1d(o, e, no_c, ne_c, nt, offs, coeffs, sign, add, sh);
-        else   step_1d(e, o, ne_c, no_c, nt, offs, coeffs, sign, add, sh);
-      }
-      for (int64_t i = 0; i < no_c; ++i) {
-        row[2 * i * s] = e[i];
-        row[(2 * i + 1) * s] = o[i];
-      }
-      if (ws & 1) row[(ws - 1) * s] = e[ne_c - 1];
-    }
-    // vertical passes
     const int64_t ne_r = (hs + 1) / 2, no_r = hs / 2;
-    const int32_t* tp = taps;
-    for (int64_t st = 0; st < n_steps; ++st) {
-      const int32_t* m = meta + st * 5;
-      const int t = m[0], sign = m[1], add = m[2], sh = m[3], nt = m[4];
-      int32_t offs[8], coeffs[8];
-      for (int k = 0; k < nt; ++k) { offs[k] = tp[2 * k]; coeffs[k] = tp[2 * k + 1]; }
-      tp += 2 * nt;
-      step_vert(plane, row_pitch, t, t ? no_r : ne_r, t ? ne_r : no_r,
-                ws, s, nt, offs, coeffs, sign, add, sh);
+    const int64_t m_end = ne_r + Lmax + 1;
+    for (int64_t m = 0; m < m_end; ++m) {
+      const int64_t r0 = 2 * m;
+      for (int64_t r = r0; r <= r0 + 1 && r < hs; ++r)
+        horiz_row(plane + r * row_pitch, s, ws, st, n_steps, tmp, 0,
+                  shift_in);
+      for (int64_t k = 0; k < n_steps; ++k) {
+        const int64_t i = m - L[k];
+        if (i >= 0 && i < (st[k].t ? no_r : ne_r))
+          vert_row_n(plane, row_pitch, st[k], i, st[k].t ? ne_r : no_r,
+                     ws, s);
+      }
     }
   }
 }
