@@ -197,9 +197,13 @@ def main() -> int:
                     ColourFormat.CF422) for (y, c1, c2) in frames]
 
     enc = Encoder(cfg)
-    # warm-up compiles (second call absorbs the adaptive fetch-cap resize)
+    # warm-up compiles (second call absorbs the adaptive fetch-cap resize),
+    # then drain the one-per-stream route probe (device-timed, host-timed,
+    # commit) so the timed window measures the committed steady-state route
     enc.encode_picture(pics[0])
     enc.encode_picture(pics[0])
+    for _ in range(4):
+        enc.encode_picture_async(pics[0])()
 
     t0 = time.perf_counter()
     handles = [enc.encode_picture_async(p) for p in pics]
