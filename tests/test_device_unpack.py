@@ -1,0 +1,126 @@
+"""On-device HQ entropy unpack (vlc/device_unpack.py) exactness tests.
+
+The contract: the jitted device unpack must reproduce the host codec
+(slices/hq.py + vlc/bitpack.py, itself golden-verified against the
+reference binaries) bit-exactly, including bounded-region semantics
+(reads past the bound return 1-bits — reference
+/root/reference/src/Library/src/VLC.cpp:182-185) and codes that straddle
+the bound.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vc2tpu.slices.hq import (decode_hq_slices, encode_hq_slices,
+                              scan_hq_slice_offsets)
+from vc2tpu.vlc import device_unpack as du
+from vc2tpu.vlc.bitpack import unpack_signed_streams
+
+
+def _device_lanes(payload: np.ndarray, n, prefix, scalar, lane_counts):
+    _, _, cbytes, _ = scan_hq_slice_offsets(payload, n, prefix, scalar)
+    p4 = (len(payload) + 3) // 4 * 4 + 8
+    pad = np.zeros(p4, np.uint8)
+    pad[:len(payload)] = payload
+    wc = tuple(du.window_words(int(cbytes[c].max(initial=0)), lane_counts[c])
+               for c in range(3))
+    fn = jax.jit(lambda p, c, s: du.unpack_hq_lanes(p, c, s, prefix,
+                                                    lane_counts, wc))
+    return fn(jnp.asarray(pad), jnp.asarray(cbytes, jnp.int32), jnp.int32(0))
+
+
+@pytest.mark.parametrize("scale,prefix,scalar,cbr", [
+    (12, 0, 1, False),
+    (300, 2, 3, False),
+    (200000, 0, 1, False),      # huge magnitudes (long codes)
+    (7, 0, 1, True),            # CBR: padded third component (bounded 1s)
+    (3, 1, 2, True),
+])
+def test_unpack_matches_host_codec(scale, prefix, scalar, cbr):
+    rng = np.random.default_rng(hash((scale, prefix, scalar, cbr)) % 2**32)
+    N, Ly, Lc = 37, 64, 32
+    ly = rng.normal(0, scale, (N, Ly)).astype(np.int32)
+    lu = rng.normal(0, scale / 2, (N, Lc)).astype(np.int32)
+    lv = rng.normal(0, scale / 2, (N, Lc)).astype(np.int32)
+    ly[rng.random((N, Ly)) < 0.4] = 0
+    lu[rng.random((N, Lc)) < 0.6] = 0
+    lv[:, Lc // 2:] = 0                     # trailing-zero truncation paths
+    q = rng.integers(0, 50, N).astype(np.int32)
+    sizes = np.full(N, 160, np.int64) if cbr else None
+    payload, _ = encode_hq_slices(q, ly, lu, lv, prefix, scalar,
+                                  slice_sizes=sizes)
+    pl = np.frombuffer(payload, np.uint8)
+    ref = decode_hq_slices(pl, N, prefix, scalar, (Ly, Lc, Lc))
+    got = _device_lanes(pl, N, prefix, scalar, (Ly, Lc, Lc))
+    for a, b in zip(ref.lanes, got):
+        np.testing.assert_array_equal(np.asarray(a, np.int32), np.asarray(b))
+
+
+def test_unpack_random_bytes_fuzz():
+    """Ultimate parity fuzz: decode bounded regions of *random bytes*
+    (arbitrary code shapes, straddling codes, mid-code truncation) and
+    compare against the reference-faithful host state machine."""
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, 4096, dtype=np.uint8)
+    S, L = 64, 24
+    starts = np.sort(rng.integers(0, 3000, S)).astype(np.int64)
+    lens = rng.integers(0, 40, S).astype(np.int64)          # bytes, incl. 0
+    ref = unpack_signed_streams(payload, starts * 8, lens * 8, L)
+    p4 = (len(payload) + 3) // 4 * 4 + 8
+    pad = np.zeros(p4, np.uint8)
+    pad[:len(payload)] = payload
+    W = du.window_words(int(lens.max()), L)
+    words = du.assemble_words(jnp.asarray(pad))
+    got = jax.jit(lambda w, d, c: du.unpack_component(w, d, c, L, W))(
+        words, jnp.asarray(starts, jnp.int32), jnp.asarray(lens, jnp.int32))
+    np.testing.assert_array_equal(ref, np.asarray(got))
+
+
+def test_unpack_zero_length_components():
+    """A 0-byte bounded region reads only 1-bits: every lane decodes 0."""
+    N, Ly, Lc = 5, 16, 8
+    z = np.zeros((N, Ly), np.int32)
+    q = np.zeros(N, np.int32)
+    payload, _ = encode_hq_slices(q, z, z[:, :Lc].copy(), z[:, :Lc].copy(),
+                                  0, 1)
+    pl = np.frombuffer(payload, np.uint8)
+    got = _device_lanes(pl, N, 0, 1, (Ly, Lc, Lc))
+    for g in got:
+        assert not np.asarray(g).any()
+
+
+def test_payload_synthesis_matches_lane_synthesis():
+    """pipeline.decoder.synthesise_payload_to_words (full on-chip decode)
+    must emit the same formatted words as the host-unpack device tail."""
+    from vc2tpu.core.config import ColourFormat, PictureGeometry, WaveletKernel
+    from vc2tpu.pipeline.decoder import (synthesise_payload_to_words,
+                                         synthesise_to_words)
+    from vc2tpu.pipeline.encoder import SliceGeometry
+    from vc2tpu.wavelet import matrices
+
+    rng = np.random.default_rng(3)
+    ys = xs = 4
+    lsh, lsw = 8, 8
+    csh, csw = 8, 4
+    geo = SliceGeometry(ys, xs, (ys * lsh, xs * lsw), (ys * csh, xs * csw),
+                        (lsh, lsw), (csh, csw))
+    N, Ly, Lc = ys * xs, lsh * lsw, csh * csw
+    ly = rng.normal(0, 40, (N, Ly)).astype(np.int32)
+    lu = rng.normal(0, 20, (N, Lc)).astype(np.int32)
+    lv = rng.normal(0, 20, (N, Lc)).astype(np.int32)
+    q = rng.integers(0, 30, N).astype(np.int32)
+    payload, _ = encode_hq_slices(q, ly, lu, lv, 0, 1)
+    pl = np.frombuffer(payload, np.uint8)
+    data = decode_hq_slices(pl, N, 0, 1, (Ly, Lc, Lc))
+    kernel, depth = WaveletKernel.LeGall, 2
+    qm = matrices.quant_matrix(kernel, depth)
+    out_geom = PictureGeometry.of(ys * lsh, xs * lsw, ColourFormat.CF422)
+    ref_words, ref_post = synthesise_to_words(
+        data.combined, data.q_indices, qm, kernel, depth, geo, out_geom, 10,
+        widths=data.widths)
+    _, _, cbytes, _ = scan_hq_slice_offsets(pl, N, 0, 1)
+    got_words, got_post = synthesise_payload_to_words(
+        pl, q, cbytes, qm, kernel, depth, geo, out_geom, 10, 0)
+    assert ref_post(np.asarray(ref_words)) == got_post(np.asarray(got_words))

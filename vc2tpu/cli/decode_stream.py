@@ -20,7 +20,9 @@ from vc2tpu.core.config import DecOutput, PictureGeometry
 from vc2tpu.core.picture import Picture
 from vc2tpu.core.planario import SampleFormat, write_picture
 from vc2tpu.pipeline import host_synth
-from vc2tpu.pipeline.decoder import (synthesise_lanes, synthesise_to_words,
+from vc2tpu.pipeline.decoder import (synthesise_lanes,
+                                     synthesise_payload_to_words,
+                                     synthesise_to_words,
                                      synthesise_transform_to_words)
 from vc2tpu.pipeline.encoder import SliceGeometry
 from vc2tpu.pipeline import ld as ld_pipeline
@@ -120,6 +122,11 @@ class Decoder:
         self._widths = None           # fixed-pack widths from the unpack
         self._fused = None            # (payload, dstart, cbytes) lazy route
         self._scan_end = None         # slice-chain end from the lazy scan
+        self._dev_payload = None      # (payload, cbytes, start) device route
+        # device route: entropy-unpack on chip (ship the compressed payload,
+        # not host-decoded coefficients) unless explicitly disabled
+        self._device_unpack = os.environ.get("VC2TPU_DEVICE_UNPACK",
+                                             "1") != "0"
         # Synthesis route: the decoded-output tail runs on the device (one
         # narrow H2D + fused dequant/IDWT/format + one D2H fetch) or on the
         # native host engine (host_synth) — for decode the host already holds
@@ -338,6 +345,7 @@ class Decoder:
         Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
         self._fused = None
         self._scan_end = None
+        self._dev_payload = None
         if hq:
             if (self.output == DecOutput.DECODED
                     and self._route not in ("device", "mesh")
@@ -354,6 +362,18 @@ class Decoder:
                 self._scan_end = int(_end)
                 self._combined = None
                 self._widths = None
+                return geo, pic_h, q_idx, None, None, None
+            if (self.output == DecOutput.DECODED and self._route == "device"
+                    and self._device_unpack):
+                # full on-chip decode: scan the slice chain only and ship
+                # the compressed payload — the entropy unpack runs on device
+                # (vlc/device_unpack.py), then dequant+IDWT+format
+                from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+                q_idx, _dstart, cbytes, _end = scan_hq_slice_offsets(
+                    payload, geo.n_slices, pre.slice_prefix,
+                    pre.slice_size_scalar, start)
+                self._dev_payload = (payload, cbytes, start)
                 return geo, pic_h, q_idx, None, None, None
             data = decode_hq_slices(payload, geo.n_slices, pre.slice_prefix,
                                     pre.slice_size_scalar, (Ly, Lc, Lc),
@@ -428,6 +448,16 @@ class Decoder:
             # DECODED: fused synthesis tail (dequant+IDWT+clip+format) on the
             # adaptively chosen route — device (one narrow H2D + one packed
             # D2H, async) or native host (no device traffic at all)
+            if self._dev_payload is not None:
+                payload_d, cbytes, start_d = self._dev_payload
+                self._dev_payload = None
+                words, post = synthesise_payload_to_words(
+                    payload_d, q_idx, cbytes, qmatrix, pre.wavelet_kernel,
+                    pre.depth, geo, out_geom, hdr.bitdepth,
+                    pre.slice_prefix, start=start_d,
+                    allow_pack=not hdr.interlace)
+                self._emit_words(words, post)
+                return
             if self._fused is not None:
                 payload_f, dstart, cbytes = self._fused
                 self._fused = None

@@ -17,23 +17,17 @@ from vc2tpu.core.config import ColourFormat, PictureGeometry, WaveletKernel
 from vc2tpu.core.picture import Picture
 from vc2tpu.quant.quantiser import adjust_quant_index, scale, scale_banded
 from vc2tpu.slices import layout
+from vc2tpu.vlc import device_unpack
 from vc2tpu.wavelet import lifting, matrices
 
 
-@functools.lru_cache(maxsize=32)
-def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
-                        bitdepth: int, pack10: bool = False):
-    """Fused decode tail: dequant + IDWT + signal clip + planar-format the
-    output samples on device (offset binary, MSB-justified, big-endian),
-    returning ONE flat word buffer so the host writes raw bytes.
-
-    Covers DecodeStream's decode->clip->planar-write tail
+def _lanes_words_tail(kernel: WaveletKernel, depth: int, geo_key, out_key,
+                      bitdepth: int, pack10: bool):
+    """Shared fused decode tail builder: (qy, qu, qv lanes, q_idx, qm_bands)
+    -> ONE flat formatted output word buffer. Covers DecodeStream's
+    dequant -> IDWT -> clip -> planar-write tail
     (/root/reference/src/DecodeStream/DecodeStream.cpp:551-609 and
-    src/Library/src/Arrays.cpp:381-426) in a single jitted function; the
-    single device->host transfer is the only copy. With ``pack10`` (10-bit
-    video) three samples pack per uint32 word, cutting that transfer by
-    ~38%; the host expands with _unpack10.
-    """
+    src/Library/src/Arrays.cpp:381-426)."""
     (ys, xs, lsh, lsw, csh, csw) = geo_key
     (out_lh, out_lw, out_ch, out_cw) = out_key
     word = 1 if bitdepth == 8 else 2
@@ -47,6 +41,45 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
             return v.astype(jnp.uint8).ravel()
         v = (v << (16 - bitdepth)).astype(jnp.uint16)
         return ((v << 8) | (v >> 8)).ravel()      # to big-endian
+
+    bands_y = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(lsh, lsw, depth)[1]))
+    bands_c = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(csh, csw, depth)[1]))
+    dims_y = lifting.band_dims(ys * lsh, xs * lsw, depth)
+    dims_c = lifting.band_dims(ys * csh, xs * csw, depth)
+
+    def tail(qy, qu, qv, q_idx, qm_bands):
+        by = lifting.lanes_to_bands(scale_banded(qy, q_idx, qm_bands, bands_y),
+                                    ys, xs, dims_y)
+        bu = lifting.lanes_to_bands(scale_banded(qu, q_idx, qm_bands, bands_c),
+                                    ys, xs, dims_c)
+        bv = lifting.lanes_to_bands(scale_banded(qv, q_idx, qm_bands, bands_c),
+                                    ys, xs, dims_c)
+        y = lifting.inverse_bands(by, kernel, depth)[:out_lh, :out_lw]
+        c1 = lifting.inverse_bands(bu, kernel, depth)[:out_ch, :out_cw]
+        c2 = lifting.inverse_bands(bv, kernel, depth)[:out_ch, :out_cw]
+        out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
+        if pack10:
+            pad = (-out.shape[0]) % 3
+            if pad:
+                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
+            t = out.reshape(-1, 3)
+            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
+        return out
+
+    return tail
+
+
+@functools.lru_cache(maxsize=32)
+def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
+                        bitdepth: int, pack10: bool = False):
+    """Fused decode tail from host-unpacked coefficients: one combined (or
+    fixed-width repacked) buffer in, one formatted word buffer out. With
+    ``pack10`` (10-bit video) three samples pack per uint32 word, cutting
+    the device->host transfer by ~38%; the host expands with _unpack10.
+    """
+    (ys, xs, lsh, lsw, csh, csw) = geo_key
 
     n = ys * xs
     Ly = lsh * lsw
@@ -75,13 +108,7 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
                 comp(w[n:2 * n], starts[n:2 * n], Lc),
                 comp(w[2 * n:], starts[2 * n:], Lc))
 
-    bands_y = tuple(int(c) for c in
-                    np.bincount(layout.lane_order(lsh, lsw, depth)[1]))
-    bands_c = tuple(int(c) for c in
-                    np.bincount(layout.lane_order(csh, csw, depth)[1]))
-
-    dims_y = lifting.band_dims(ys * lsh, xs * lsw, depth)
-    dims_c = lifting.band_dims(ys * csh, xs * csw, depth)
+    tail = _lanes_words_tail(kernel, depth, geo_key, out_key, bitdepth, pack10)
 
     def fn(combined, q_idx, qm_bands, widths=None):
         if widths is not None:
@@ -90,25 +117,81 @@ def _synthesis_bytes_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
             qy = combined[:n * Ly].reshape(n, Ly).astype(jnp.int32)
             qu = combined[n * Ly:n * (Ly + Lc)].reshape(n, Lc).astype(jnp.int32)
             qv = combined[n * (Ly + Lc):].reshape(n, Lc).astype(jnp.int32)
-        by = lifting.lanes_to_bands(scale_banded(qy, q_idx, qm_bands, bands_y),
-                                    ys, xs, dims_y)
-        bu = lifting.lanes_to_bands(scale_banded(qu, q_idx, qm_bands, bands_c),
-                                    ys, xs, dims_c)
-        bv = lifting.lanes_to_bands(scale_banded(qv, q_idx, qm_bands, bands_c),
-                                    ys, xs, dims_c)
-        y = lifting.inverse_bands(by, kernel, depth)[:out_lh, :out_lw]
-        c1 = lifting.inverse_bands(bu, kernel, depth)[:out_ch, :out_cw]
-        c2 = lifting.inverse_bands(bv, kernel, depth)[:out_ch, :out_cw]
-        out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
-        if pack10:
-            pad = (-out.shape[0]) % 3
-            if pad:
-                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
-            t = out.reshape(-1, 3)
-            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
-        return out
+        return tail(qy, qu, qv, q_idx, qm_bands)
 
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _payload_synthesis_fn(kernel: WaveletKernel, depth: int, geo_key, out_key,
+                          bitdepth: int, pack10: bool, prefix: int,
+                          word_counts: tuple[int, int, int]):
+    """Full on-chip HQ decode: slice payload bytes in, formatted output
+    words out. The entropy unpack (vlc/device_unpack.py) runs on device, so
+    the host ships the *compressed* payload plus the chain scan's component
+    lengths — no host VLC work, no coefficient-sized transfers. Covers the
+    whole HQ picture tail of
+    /root/reference/src/DecodeStream/DecodeStream.cpp:451-609 on chip."""
+    (ys, xs, lsh, lsw, csh, csw) = geo_key
+    Ly = lsh * lsw
+    Lc = csh * csw
+    tail = _lanes_words_tail(kernel, depth, geo_key, out_key, bitdepth, pack10)
+
+    def fn(payload_u8, clens, start, q_idx, qm_bands):
+        qy, qu, qv = device_unpack.unpack_hq_lanes(
+            payload_u8, clens, start, prefix, (Ly, Lc, Lc), word_counts)
+        return tail(qy, qu, qv, q_idx, qm_bands)
+
+    return jax.jit(fn)
+
+
+def synthesise_payload_to_words(payload: np.ndarray, q_indices, cbytes,
+                                qmatrix, kernel: WaveletKernel, depth: int,
+                                geo, out_geometry: PictureGeometry,
+                                bitdepth: int, prefix: int, start: int = 0,
+                                allow_pack: bool = True):
+    """Async full-device decode route: one compressed-payload host->device
+    copy, entropy unpack + synthesis + output formatting all on chip.
+    Returns (device_words, postprocess) without blocking."""
+    qm_bands = jnp.asarray(qmatrix.astype(np.int32))
+    geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice, *geo.chroma_slice)
+    out_key = (out_geometry.luma_height, out_geometry.luma_width,
+               out_geometry.chroma_height, out_geometry.chroma_width)
+    pack10 = bool(allow_pack and bitdepth == 10)
+    Ly = geo.luma_slice[0] * geo.luma_slice[1]
+    Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+    cbytes = np.asarray(cbytes)
+    word_counts = tuple(
+        device_unpack.window_words(_bucket_bytes(int(cbytes[c].max(initial=0))),
+                                   (Ly, Lc, Lc)[c])
+        for c in range(3))
+    fn = _payload_synthesis_fn(kernel, depth, geo_key, out_key, bitdepth,
+                               pack10, prefix, word_counts)
+    p4 = _bucket((len(payload) + 3) // 4 * 4 + 8)
+    padded = np.zeros(p4, np.uint8)
+    padded[:len(payload)] = payload
+    out = fn(jnp.asarray(padded), jnp.asarray(cbytes, jnp.int32),
+             jnp.int32(start), jnp.asarray(q_indices, jnp.int32), qm_bands)
+    try:
+        out.copy_to_host_async()
+    except Exception:
+        pass
+    if pack10:
+        ns = (out_geometry.luma_height * out_geometry.luma_width
+              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
+        post = functools.partial(_unpack10, n_samples=ns)
+    else:
+        post = lambda a: a.tobytes()
+    return out, post
+
+
+def _bucket_bytes(n: int) -> int:
+    """Power-of-two bucket (>= 8) for the per-component window size so VBR
+    streams with drifting max component lengths do not retrace every frame."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
 
 
 @functools.lru_cache(maxsize=16)

@@ -1,0 +1,157 @@
+"""On-device HQ entropy unpack: payload bytes -> coefficient lanes, jitted.
+
+Decodes the bounded interleaved exp-Golomb slice components of an HQ
+picture entirely on the accelerator, so the device decode route ships the
+*compressed* payload (plus the per-slice component lengths from the host
+chain scan) instead of host-unpacked coefficients. Wire semantics follow
+the reference exactly (/root/reference/src/Library/src/VLC.cpp:54-94 codes,
+:182-185 bounded reads return 1-bits past the region;
+/root/reference/src/Library/src/Slices.cpp:384-467 slice layout).
+
+Design (TPU-first, no per-element scatters and one gather total):
+
+* The payload is assembled into big-endian uint32 words on device; each
+  slice component gathers a fixed-width window block of ``W`` words once.
+  Bytes at or past the component's bound are OR-masked to 0xFF *by
+  position*, which reproduces the bounded-read rule (reads past the bound
+  see 1-bits) including codes that straddle the bound.
+* A ``lax.scan`` over the ``L`` lanes decodes one signed code per step for
+  every slice in lockstep: a 64-bit peek window is built by one-hot
+  multiply over the block words (no dynamic gather inside the scan),
+  ``clz`` of the follow-bit mask gives the data-bit count, and a log-step
+  even-bit compress (inverse Morton spread) extracts the magnitude.
+* Values land in lane order directly from the scan's stacked outputs -
+  no scatter.
+
+Codes with more than 31 data bits (|v| >= 2^31, impossible in conformant
+streams and undefined in the reference's int arithmetic) are clamped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_FOLLOW = np.uint64(0xAAAAAAAAAAAAAAAA)
+_C1 = np.uint64(0x5555555555555555)
+_C2 = np.uint64(0x3333333333333333)
+_C4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_C8 = np.uint64(0x00FF00FF00FF00FF)
+_C16 = np.uint64(0x0000FFFF0000FFFF)
+_C32 = np.uint64(0x00000000FFFFFFFF)
+
+
+def _compress_even(x):
+    """Gather the even-position bits of x into the low bits (inverse of the
+    Morton spread used by golomb._spread16)."""
+    x = x & _C1
+    x = (x | (x >> jnp.uint64(1))) & _C2
+    x = (x | (x >> jnp.uint64(2))) & _C4
+    x = (x | (x >> jnp.uint64(4))) & _C8
+    x = (x | (x >> jnp.uint64(8))) & _C16
+    x = (x | (x >> jnp.uint64(16))) & _C32
+    return x
+
+
+def window_words(n_bytes_max: int, n_lanes: int) -> int:
+    """Window block size (uint32 words) that covers the worst-case bit
+    consumption of one component: 3 lead-alignment bytes + the bounded
+    region + one 1-bit zero code per remaining lane + a straddling code +
+    64 peek bits."""
+    bits = 24 + 8 * n_bytes_max + n_lanes + 2 + 64 + 64
+    return (bits + 31) // 32 + 1
+
+
+def unpack_component(words, dstart, clen, n_lanes: int, n_words: int):
+    """Decode ``n_lanes`` signed codes per slice from bounded regions.
+
+    words: uint32 [P] big-endian-assembled payload words.
+    dstart: int32 [N] absolute byte offset of each region.
+    clen: int32 [N] region length in bytes (bound).
+    Returns int32 [N, n_lanes] in lane order.
+    """
+    base = dstart >> 2
+    lead = dstart & 3                                   # bytes before start
+    j = jnp.arange(n_words, dtype=jnp.int32)
+    block = words[base[:, None] + j[None, :]]           # (N, W) gather
+    # positional bound mask: byte b of word j is relative byte 4j+b-lead;
+    # bytes at or past clen read as 0xFF (VLC.cpp:182-185)
+    rel0 = 4 * j[None, :] - lead[:, None]
+    cl = clen[:, None]
+    for b in range(4):
+        sh = 24 - 8 * b
+        over = (rel0 + b) >= cl
+        block = block | (over.astype(jnp.uint32) << sh) * jnp.uint32(0xFF)
+
+    u64 = lambda a: a.astype(jnp.uint64)
+    pos0 = (lead * 8).astype(jnp.int32)
+
+    def step(pos, _):
+        widx = pos >> 5
+        sh = u64(pos & 31)
+        w0 = jnp.zeros_like(pos).astype(jnp.uint32)
+        w1 = jnp.zeros_like(w0)
+        w2 = jnp.zeros_like(w0)
+        for k in range(n_words):
+            bk = block[:, k]
+            w0 = w0 + bk * (widx == k)
+            if k >= 1:
+                w1 = w1 + bk * (widx == k - 1)
+            if k >= 2:
+                w2 = w2 + bk * (widx == k - 2)
+        win = (u64(w0) << (jnp.uint64(32) + sh)) | (u64(w1) << sh)
+        t2 = u64(w2) >> (jnp.uint64(32) - jnp.maximum(sh, jnp.uint64(1)))
+        win = win | jnp.where(sh > 0, t2, jnp.uint64(0))
+        # first 1 follow bit (even code position) terminates the magnitude
+        p = lax.clz(win & _FOLLOW).astype(jnp.int32)
+        p = jnp.minimum(p, 62)                          # clamp corrupt codes
+        ndata = u64(p >> 1)
+        pe = jnp.maximum(p, 2)
+        x = win >> u64(64 - pe)                         # code bits 0..p-1
+        mag = ((jnp.uint64(1) << ndata) | _compress_even(x)) - jnp.uint64(1)
+        sign = (win >> u64(62 - p)) & jnp.uint64(1)
+        mag_i = mag.astype(jnp.int64)
+        val = jnp.where(p == 0, 0,
+                        jnp.where(sign > 0, -mag_i, mag_i)).astype(jnp.int32)
+        return pos + jnp.where(p == 0, 1, p + 2), val
+
+    _, vals = lax.scan(step, pos0, None, length=n_lanes)
+    return vals.T                                       # (N, n_lanes)
+
+
+def assemble_words(payload_u8):
+    """Big-endian uint32 words from a byte payload (length multiple of 4)."""
+    r = payload_u8.reshape(-1, 4).astype(jnp.uint32)
+    return (r[:, 0] << 24) | (r[:, 1] << 16) | (r[:, 2] << 8) | r[:, 3]
+
+
+def hq_component_offsets(clens, prefix: int, start):
+    """Per-component data byte offsets from the slice chain structure
+    (Slices.cpp:384-467: prefix zeros, 1B qIndex, then per component
+    {1B length, data}). clens: int32 [3, N]."""
+    totals = prefix + 4 + clens[0] + clens[1] + clens[2]
+    sstart = start + jnp.cumsum(totals) - totals
+    d0 = sstart + prefix + 2
+    d1 = d0 + clens[0] + 1
+    d2 = d1 + clens[1] + 1
+    return d0, d1, d2
+
+
+def unpack_hq_lanes(payload_u8, clens, start, prefix: int,
+                    lane_counts: tuple[int, int, int],
+                    word_counts: tuple[int, int, int]):
+    """Jit-composable device unpack of a whole HQ picture's slice payload.
+
+    payload_u8: uint8 [P4] (P4 % 4 == 0, zero/any padded).
+    clens: int32 [3, N] component byte lengths (from the host chain scan).
+    start: int32 scalar, byte offset of the first slice.
+    Returns (qy, qu, qv) int32 lane arrays.
+    """
+    words = assemble_words(payload_u8)
+    d0, d1, d2 = hq_component_offsets(clens, prefix, start)
+    qy = unpack_component(words, d0, clens[0], lane_counts[0], word_counts[0])
+    qu = unpack_component(words, d1, clens[1], lane_counts[1], word_counts[1])
+    qv = unpack_component(words, d2, clens[2], lane_counts[2], word_counts[2])
+    return qy, qu, qv
