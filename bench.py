@@ -16,10 +16,13 @@ otherwise hide (VERDICT r2 "put the TPU route on the driver record"):
 * constq_encode_1080p_fps, cbr_encode_1080p_fps, ld_encode_1080p_fps,
   cbr_encode_4k_fps
 * device_constq_analyse_ms, device_cbr_analyse_ms, device_cbr_search_ms,
-  device_decode_synth_ms — on-chip ms/frame with the link excluded: the
-  dependent chain runs inside one jitted fori_loop dispatch and the slope
-  between two loop lengths cancels dispatch latency and the finishing
-  fetch (jax.block_until_ready does not block through the tunnel).
+  device_decode_synth_ms, device_decode_step_ms (+ the derived
+  device_hq_decode_fps_per_chip: the FULL on-chip decode — on-device
+  entropy unpack + dequant + IDWT + output format) — on-chip ms/frame with
+  the link excluded: the dependent chain runs inside one jitted fori_loop
+  dispatch and the slope between two loop lengths cancels dispatch latency
+  and the finishing fetch (jax.block_until_ready does not block through
+  the tunnel).
 
 Baseline denominators: the reference binaries compiled at -O2 on this host,
 measured 2026-08-17 on exactly this content family (BASELINE.md round-2
@@ -413,6 +416,45 @@ def main() -> int:
 
         tail["device_decode_synth_ms"] = round(
             chain_ms(synth_call, label="decode synth"), 2)
+
+        # FULL on-chip decode step (on-device entropy unpack + dequant +
+        # IDWT + output format, vlc/device_unpack.py): payload bytes in,
+        # formatted words out — the decode analogue of the encode-step
+        # fps/chip metric. The loop dependency lands in a pad byte beyond
+        # the last slice (bound-masked, so the decode is unaffected but the
+        # unpack cannot be hoisted out of the fori_loop).
+        from vc2tpu.pipeline.decoder import (_bucket, _bucket_bytes,
+                                             _payload_synthesis_fn)
+        from vc2tpu.slices.hq import scan_hq_slice_offsets
+        from vc2tpu.vlc import device_unpack
+
+        pl0 = np.frombuffer(encoded[0].payload, np.uint8)
+        _qs, _ds, cbytes, _end = scan_hq_slice_offsets(
+            pl0, geo.n_slices, cfg.slice_prefix, cfg.slice_scalar)
+        word_counts = tuple(
+            device_unpack.window_words(
+                _bucket_bytes(int(cbytes[c].max())), (Ly, Lc, Lc)[c])
+            for c in range(3))
+        pfn = _payload_synthesis_fn(cfg.kernel, cfg.wavelet_depth, geo_key,
+                                    out_key, bits, True, cfg.slice_prefix,
+                                    word_counts)
+        padded = np.zeros(_bucket((len(pl0) + 3) // 4 * 4 + 8), np.uint8)
+        padded[:len(pl0)] = pl0
+        pay_dev = jnp.asarray(padded)
+        clens_dev = jnp.asarray(cbytes, jnp.int32)
+
+        def decstep_call(prev):
+            dep = (jnp.uint8(0) if prev is None
+                   else (jax.tree_util.tree_leaves(prev)[0].ravel()[0] & 1
+                         ).astype(jnp.uint8))
+            return pfn(pay_dev.at[-1].set(dep), clens_dev, jnp.int32(0),
+                       qi, qmb)
+
+        dec_ms = chain_ms(decstep_call, n_lo=4, n_hi=16,
+                          label="full decode step")
+        tail["device_decode_step_ms"] = round(dec_ms, 2)
+        if dec_ms > 0:
+            tail["device_hq_decode_fps_per_chip"] = round(1000.0 / dec_ms, 1)
     except Exception as exc:
         log(f"device chains skipped ({exc})")
 

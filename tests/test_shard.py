@@ -327,3 +327,14 @@ def test_sharded_stream_decode_bit_exact():
     np.testing.assert_array_equal(y[:H, :W], np.asarray(ref.y))
     np.testing.assert_array_equal(c1[:H, :W // 2], np.asarray(ref.c1))
     np.testing.assert_array_equal(c2[:H, :W // 2], np.asarray(ref.c2))
+
+    # per-shard ON-DEVICE entropy unpack (make_sharded_payload_decode_step)
+    # must equal the host-unpacked lane path exactly
+    from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+    q, dstart, cbytes, _ = scan_hq_slice_offsets(
+        payload, geo.n_slices, cfg.slice_prefix, cfg.slice_scalar)
+    y2, c12, c22 = sdec.decode_payload_device(payload, q, dstart, cbytes)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(c12, c1)
+    np.testing.assert_array_equal(c22, c2)

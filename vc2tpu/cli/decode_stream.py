@@ -363,17 +363,21 @@ class Decoder:
                 self._combined = None
                 self._widths = None
                 return geo, pic_h, q_idx, None, None, None
-            if (self.output == DecOutput.DECODED and self._route == "device"
-                    and self._device_unpack):
+            if (self.output == DecOutput.DECODED and self._device_unpack
+                    and (self._route == "device"
+                         or (self._route == "mesh"
+                             and self._sharded_decoder(pre, geo)
+                             is not None))):
                 # full on-chip decode: scan the slice chain only and ship
                 # the compressed payload — the entropy unpack runs on device
-                # (vlc/device_unpack.py), then dequant+IDWT+format
+                # (vlc/device_unpack.py; per shard under shard_map on the
+                # mesh route), then dequant+IDWT+format
                 from vc2tpu.slices.hq import scan_hq_slice_offsets
 
-                q_idx, _dstart, cbytes, _end = scan_hq_slice_offsets(
+                q_idx, dstart, cbytes, _end = scan_hq_slice_offsets(
                     payload, geo.n_slices, pre.slice_prefix,
                     pre.slice_size_scalar, start)
-                self._dev_payload = (payload, cbytes, start)
+                self._dev_payload = (payload, dstart, cbytes, start)
                 return geo, pic_h, q_idx, None, None, None
             data = decode_hq_slices(payload, geo.n_slices, pre.slice_prefix,
                                     pre.slice_size_scalar, (Ly, Lc, Lc),
@@ -428,7 +432,14 @@ class Decoder:
         if hq and self._route == "mesh" and self.output == DecOutput.DECODED:
             sdec = self._sharded_decoder(pre, geo)
             if sdec is not None:
-                y, c1, c2 = sdec.synthesise(q_idx, ly, lu, lv)
+                if self._dev_payload is not None:
+                    # per-shard on-device entropy unpack (no host VLC work)
+                    payload_d, dstart, cbytes, _start_d = self._dev_payload
+                    self._dev_payload = None
+                    y, c1, c2 = sdec.decode_payload_device(
+                        payload_d, q_idx, dstart, cbytes)
+                else:
+                    y, c1, c2 = sdec.synthesise(q_idx, ly, lu, lv)
                 words, post = _format_words_host(
                     y[:out_geom.luma_height, :out_geom.luma_width],
                     c1[:out_geom.chroma_height, :out_geom.chroma_width],
@@ -449,7 +460,7 @@ class Decoder:
             # adaptively chosen route — device (one narrow H2D + one packed
             # D2H, async) or native host (no device traffic at all)
             if self._dev_payload is not None:
-                payload_d, cbytes, start_d = self._dev_payload
+                payload_d, dstart, cbytes, start_d = self._dev_payload
                 self._dev_payload = None
                 words, post = synthesise_payload_to_words(
                     payload_d, q_idx, cbytes, qmatrix, pre.wavelet_kernel,

@@ -372,17 +372,9 @@ class ShardedEncoder:
         return q_out
 
 
-def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh,
-                             batch_axis: str | None = "data"):
-    """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT (band form,
-    halo exchange per vertical pass). Counterpart of the single-device
-    synthesis tail (pipeline/decoder.py); output equals it exactly.
-    ``batch_axis=None`` replicates the frame axis (single-picture decode over
-    the ``space`` ring only).
-    Reference path: /root/reference/src/DecodeStream/DecodeStream.cpp:451-613."""
-    space = mesh.shape["space"]
-    if geo.y_slices % space:
-        raise ValueError("y_slices must divide by the space mesh extent")
+def _local_synth_builder(kernel, depth: int, geo, space: int):
+    """Shared shard-local synthesis body: (q_idx, ly, lu, lv) local lanes ->
+    dequant -> band-form halo-exchange IDWT over the ``space`` ring."""
     qmatrix = matrices.quant_matrix(kernel, depth)
     qm = jnp.asarray(qmatrix.astype(np.int32))
     bs_y, bs_c = _band_meta(geo, depth)
@@ -401,11 +393,66 @@ def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh,
         return (synth(ly, dims_y, bs_y), synth(lu, dims_c, bs_c),
                 synth(lv, dims_c, bs_c))
 
+    return local
+
+
+def make_sharded_decode_step(kernel, depth: int, geo, mesh: Mesh,
+                             batch_axis: str | None = "data"):
+    """Jitted multi-chip HQ synthesis: lanes -> dequant -> IDWT (band form,
+    halo exchange per vertical pass). Counterpart of the single-device
+    synthesis tail (pipeline/decoder.py); output equals it exactly.
+    ``batch_axis=None`` replicates the frame axis (single-picture decode over
+    the ``space`` ring only).
+    Reference path: /root/reference/src/DecodeStream/DecodeStream.cpp:451-613."""
+    space = mesh.shape["space"]
+    if geo.y_slices % space:
+        raise ValueError("y_slices must divide by the space mesh extent")
+    local = _local_synth_builder(kernel, depth, geo, space)
+
     shmap = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(batch_axis, "space"),)
         + (P(batch_axis, "space", None),) * 3,
         out_specs=(P(batch_axis, "space", None),) * 3)
+
+    with mesh:
+        return jax.jit(shmap)
+
+
+def make_sharded_payload_decode_step(kernel, depth: int, geo, mesh: Mesh,
+                                     word_counts: tuple[int, int, int]):
+    """Jitted multi-chip HQ decode from the *compressed* slice payload:
+    each shard entropy-unpacks its own contiguous slice run on device
+    (vlc/device_unpack.py — slice rows coincide with row bands, so the
+    per-shard regions are just the scan's offset rows), then dequant +
+    halo-exchange synthesis. This removes the host-serial entropy decode
+    from the mesh route: the only host work is the ~4-reads-per-slice chain
+    scan. Reference decode loop being paralleled:
+    /root/reference/src/DecodeStream/DecodeStream.cpp:451-613."""
+    from vc2tpu.vlc import device_unpack
+
+    space = mesh.shape["space"]
+    if geo.y_slices % space:
+        raise ValueError("y_slices must divide by the space mesh extent")
+    Ly = geo.luma_slice[0] * geo.luma_slice[1]
+    Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+    synth = _local_synth_builder(kernel, depth, geo, space)
+
+    def local(payload_u8, q_idx, dstart, clen):
+        words = device_unpack.assemble_words(payload_u8)
+        ly = device_unpack.unpack_component(words, dstart[0, 0], clen[0, 0],
+                                            Ly, word_counts[0])
+        lu = device_unpack.unpack_component(words, dstart[0, 1], clen[0, 1],
+                                            Lc, word_counts[1])
+        lv = device_unpack.unpack_component(words, dstart[0, 2], clen[0, 2],
+                                            Lc, word_counts[2])
+        return synth(q_idx, ly[None], lu[None], lv[None])
+
+    shmap = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, "space"), P(None, None, "space"),
+                  P(None, None, "space")),
+        out_specs=(P(None, "space", None),) * 3)
 
     with mesh:
         return jax.jit(shmap)
@@ -425,6 +472,7 @@ class ShardedDecoder:
                                              batch_axis=None)
         self.lane_spec = NamedSharding(mesh, P(None, "space", None))
         self.q_spec = NamedSharding(mesh, P(None, "space"))
+        self._payload_steps: dict = {}
 
     def synthesise(self, q_idx, ly, lu, lv):
         """Entropy-decoded lanes -> (y, c1, c2) padded planes (np): scatter
@@ -450,3 +498,41 @@ class ShardedDecoder:
                                 (Ly, Lc, Lc), start=start)
         ly, lu, lv = data.lanes
         return self.synthesise(data.q_indices, ly, lu, lv)
+
+    def decode_payload_device(self, payload: np.ndarray, q_idx, dstart,
+                              cbytes):
+        """One picture's slice payload -> (y, c1, c2) padded planes with the
+        entropy unpack ON DEVICE, each shard decoding its own slice run
+        (make_sharded_payload_decode_step). Host work is only the chain scan
+        whose (q, dstart, cbytes) rows arrive here."""
+        from vc2tpu.pipeline.decoder import _bucket, _bucket_bytes
+        from vc2tpu.vlc import device_unpack
+
+        geo = self.geo
+        Ly = geo.luma_slice[0] * geo.luma_slice[1]
+        Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+        cbytes = np.asarray(cbytes)
+        word_counts = tuple(
+            device_unpack.window_words(
+                _bucket_bytes(int(cbytes[c].max(initial=0))),
+                (Ly, Lc, Lc)[c])
+            for c in range(3))
+        p4 = _bucket((len(payload) + 3) // 4 * 4 + 8)
+        key = (word_counts, p4)
+        step = self._payload_steps.get(key)
+        if step is None:
+            step = make_sharded_payload_decode_step(
+                self.kernel, self.depth, self.geo, self.mesh, word_counts)
+            self._payload_steps[key] = step
+        padded = np.zeros(p4, np.uint8)
+        padded[:len(payload)] = payload
+        off_spec = NamedSharding(self.mesh, P(None, None, "space"))
+        with self.mesh:
+            y, c1, c2 = step(
+                jax.device_put(padded,
+                               NamedSharding(self.mesh, P())),
+                jax.device_put(np.asarray(q_idx, np.int32)[None],
+                               self.q_spec),
+                jax.device_put(np.asarray(dstart, np.int32)[None], off_spec),
+                jax.device_put(cbytes.astype(np.int32)[None], off_spec))
+        return np.asarray(y)[0], np.asarray(c1)[0], np.asarray(c2)[0]
