@@ -27,6 +27,8 @@ asserts the assembled stream is byte-identical to the single-chip encoder.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -234,6 +236,20 @@ class MultiHostDecoder:
                      ("data", "space"))
         self.sdec = ShardedDecoder(kernel, depth, geo, lmesh)
         self.geo = geo
+        self._device_unpack = os.environ.get("VC2TPU_DEVICE_UNPACK",
+                                             "1") != "0"
+
+    def _decode_one(self, payload, prefix: int, scalar: int):
+        """One picture's payload -> padded planes, entropy-unpacking on the
+        local devices (per-shard, vlc/device_unpack.py) when enabled."""
+        if self._device_unpack:
+            from vc2tpu.slices.hq import scan_hq_slice_offsets
+
+            q, dstart, cbytes, _ = scan_hq_slice_offsets(
+                np.ascontiguousarray(payload, np.uint8), self.geo.n_slices,
+                prefix, scalar)
+            return self.sdec.decode_payload_device(payload, q, dstart, cbytes)
+        return self.sdec.decode_payload(payload, prefix, scalar)
 
     def decode_pictures(self, items, prefix: int, scalar: int,
                         out_luma, out_chroma):
@@ -258,7 +274,7 @@ class MultiHostDecoder:
         c2s = np.empty((k, ch, cw), np.int32)
         for j in range(k):
             i = min(pid + j * nproc, n - 1)
-            y, c1, c2 = self.sdec.decode_payload(items[i][1], prefix, scalar)
+            y, c1, c2 = self._decode_one(items[i][1], prefix, scalar)
             ys[j] = y[:lh, :lw]
             c1s[j] = c1[:ch, :cw]
             c2s[j] = c2[:ch, :cw]
