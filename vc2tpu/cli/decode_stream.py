@@ -372,13 +372,25 @@ class Decoder:
                 # the compressed payload — the entropy unpack runs on device
                 # (vlc/device_unpack.py; per shard under shard_map on the
                 # mesh route), then dequant+IDWT+format
+                from vc2tpu.pipeline.decoder import _bucket_bytes
                 from vc2tpu.slices.hq import scan_hq_slice_offsets
+                from vc2tpu.vlc import device_unpack
 
                 q_idx, dstart, cbytes, _end = scan_hq_slice_offsets(
                     payload, geo.n_slices, pre.slice_prefix,
                     pre.slice_size_scalar, start)
-                self._dev_payload = (payload, dstart, cbytes, start)
-                return geo, pic_h, q_idx, None, None, None
+                wc = tuple(device_unpack.window_words(
+                    _bucket_bytes(int(cbytes[c].max(initial=0))),
+                    (Ly, Lc, Lc)[c]) for c in range(3))
+                n_est = geo.n_slices
+                if self._route == "mesh":
+                    n_est //= self._mesh_obj.shape["space"]
+                if (device_unpack.block_bytes_estimate(n_est, wc)
+                        <= (1 << 28)):
+                    self._dev_payload = (payload, dstart, cbytes, start)
+                    return geo, pic_h, q_idx, None, None, None
+                # pathologically skewed slice sizes would blow the window
+                # block's memory: host-unpack device path below instead
             data = decode_hq_slices(payload, geo.n_slices, pre.slice_prefix,
                                     pre.slice_size_scalar, (Ly, Lc, Lc),
                                     start=start)

@@ -64,6 +64,14 @@ def window_words(n_bytes_max: int, n_lanes: int) -> int:
     return (bits + 31) // 32 + 1
 
 
+def block_bytes_estimate(n_slices: int, comp_word_counts) -> int:
+    """Device memory the per-slice window blocks will take. The block is
+    sized by the LARGEST component region, so a heavily skewed stream (one
+    huge slice among thousands of tiny ones) can inflate it far past the
+    payload size — callers fall back to the host unpack above a cap."""
+    return 4 * n_slices * int(sum(comp_word_counts))
+
+
 def unpack_component(words, dstart, clen, n_lanes: int, n_words: int):
     """Decode ``n_lanes`` signed codes per slice from bounded regions.
 
@@ -94,13 +102,16 @@ def unpack_component(words, dstart, clen, n_lanes: int, n_words: int):
         w0 = jnp.zeros_like(pos).astype(jnp.uint32)
         w1 = jnp.zeros_like(w0)
         w2 = jnp.zeros_like(w0)
+        eq1 = eq2 = None
         for k in range(n_words):
             bk = block[:, k]
-            w0 = w0 + bk * (widx == k)
-            if k >= 1:
-                w1 = w1 + bk * (widx == k - 1)
-            if k >= 2:
-                w2 = w2 + bk * (widx == k - 2)
+            eq = (widx == k).astype(jnp.uint32)     # one compare, reused
+            w0 = w0 + bk * eq
+            if eq1 is not None:
+                w1 = w1 + bk * eq1
+            if eq2 is not None:
+                w2 = w2 + bk * eq2
+            eq1, eq2 = eq, eq1
         win = (u64(w0) << (jnp.uint64(32) + sh)) | (u64(w1) << sh)
         t2 = u64(w2) >> (jnp.uint64(32) - jnp.maximum(sh, jnp.uint64(1)))
         win = win | jnp.where(sh > 0, t2, jnp.uint64(0))
