@@ -45,6 +45,7 @@ echo "   CBR stream byte-identical on TPU"
 # 2. hardware certification: the golden suite on the real chip
 step tpu_cert 3600 env VC2TPU_TEST_TPU=1 python3 -m pytest \
     /root/repo/tests/test_golden.py /root/repo/tests/test_device_pack.py \
+    /root/repo/tests/test_device_unpack.py \
     /root/repo/tests/test_pallas_lift.py -q || exit 1
 tail -2 "$OUT"/tpu_cert*.log
 
