@@ -442,10 +442,9 @@ def make_sharded_payload_decode_step(kernel, depth: int, geo, mesh: Mesh,
         words = device_unpack.assemble_words(payload_u8)
         ly = device_unpack.unpack_component(words, dstart[0, 0], clen[0, 0],
                                             Ly, word_counts[0])
-        lu = device_unpack.unpack_component(words, dstart[0, 1], clen[0, 1],
-                                            Lc, word_counts[1])
-        lv = device_unpack.unpack_component(words, dstart[0, 2], clen[0, 2],
-                                            Lc, word_counts[2])
+        lu, lv = device_unpack.unpack_chroma_pair(
+            words, dstart[0, 1], dstart[0, 2], clen[0, 1], clen[0, 2],
+            Lc, max(word_counts[1], word_counts[2]))
         return synth(q_idx, ly[None], lu[None], lv[None])
 
     shmap = jax.shard_map(

@@ -150,6 +150,18 @@ def hq_component_offsets(clens, prefix: int, start):
     return d0, d1, d2
 
 
+def unpack_chroma_pair(words, d1, d2, clen1, clen2, n_lanes: int,
+                       n_words: int):
+    """Decode the two chroma components in ONE lane scan by stacking their
+    regions along the slice axis (same lane count; one scan dispatch, twice
+    the vector width). Returns (qu, qv)."""
+    n = d1.shape[0]
+    dstart = jnp.concatenate([d1, d2])
+    clen = jnp.concatenate([clen1, clen2])
+    both = unpack_component(words, dstart, clen, n_lanes, n_words)
+    return both[:n], both[n:]
+
+
 def unpack_hq_lanes(payload_u8, clens, start, prefix: int,
                     lane_counts: tuple[int, int, int],
                     word_counts: tuple[int, int, int]):
@@ -163,6 +175,7 @@ def unpack_hq_lanes(payload_u8, clens, start, prefix: int,
     words = assemble_words(payload_u8)
     d0, d1, d2 = hq_component_offsets(clens, prefix, start)
     qy = unpack_component(words, d0, clens[0], lane_counts[0], word_counts[0])
-    qu = unpack_component(words, d1, clens[1], lane_counts[1], word_counts[1])
-    qv = unpack_component(words, d2, clens[2], lane_counts[2], word_counts[2])
+    qu, qv = unpack_chroma_pair(words, d1, d2, clens[1], clens[2],
+                                lane_counts[1],
+                                max(word_counts[1], word_counts[2]))
     return qy, qu, qv
