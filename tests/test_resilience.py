@@ -249,3 +249,19 @@ def test_random_corruption_never_crashes():
             s[rng.integers(13, len(s))] = rng.integers(0, 256)
         dec = Decoder(sink=io.BytesIO())
         assert dec.run(bytes(s)) == 0
+
+
+def test_random_corruption_never_crashes_device_route():
+    """The on-chip entropy-unpack route must also survive arbitrary
+    payload corruption (garbage decodes deterministically, chain-scan
+    failures skip the picture)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    stream = bytearray((GOLDEN / "cbr_legall_d2.vc2").read_bytes())
+    for _trial in range(5):
+        s = bytearray(stream)
+        for _ in range(4):
+            s[rng.integers(13, len(s))] = rng.integers(0, 256)
+        dec = Decoder(sink=io.BytesIO(), route="device")
+        assert dec.run(bytes(s)) == 0
