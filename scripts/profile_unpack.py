@@ -1,0 +1,159 @@
+"""Stage-level device timing of the on-chip HQ decode (run on the real TPU).
+
+Breaks the full on-chip decode step (pipeline/decoder._payload_synthesis_fn)
+into stages and times each with the fori_loop slope method (see bench.py
+chain_ms — per-call dependent chains measure tunnel dispatch, not device
+time):
+
+  1. window block gather + masking only
+  2. entropy unpack (luma + paired chroma lane scans)
+  3. unpack + dequant + IDWT + format (the full step)
+
+Usage: python scripts/profile_unpack.py [--h 1080 --w 1920 | --h 2160 --w 3840]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def chain_ms(step, n_lo=4, n_hi=16, reps=3, label=""):
+    import jax
+    from jax import lax
+
+    init = step(None)
+    body = lambda i, c: step(c)
+    run_lo = jax.jit(lambda c: lax.fori_loop(0, n_lo, body, c))
+    run_hi = jax.jit(lambda c: lax.fori_loop(0, n_hi, body, c))
+
+    def force(c):
+        return np.asarray(jax.tree_util.tree_leaves(c)[0].ravel()[:1])
+
+    force(run_lo(init))
+    force(run_hi(init))
+    times = {}
+    for nm, run in (("lo", run_lo), ("hi", run_hi)):
+        best = float("inf")
+        c = init
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c = run(c)
+            force(c)
+            best = min(best, time.perf_counter() - t0)
+        times[nm] = best
+    dt = max((times["hi"] - times["lo"]) / (n_hi - n_lo) * 1e3, 0.0)
+    print(f"{label}: {dt:.2f} ms/step  (lo {times['lo']*1e3:.0f} ms/{n_lo}, "
+          f"hi {times['hi']*1e3:.0f} ms/{n_hi})")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=1080)
+    ap.add_argument("--w", type=int, default=1920)
+    ap.add_argument("--q", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS=cpu env "
+                         "var still probes the axon plugin, which hangs "
+                         "when the tunnel is down)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bench import synth_frames
+    from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
+                                    Mode, PictureGeometry, WaveletKernel)
+    from vc2tpu.core.picture import Picture
+    from vc2tpu.pipeline.decoder import (_bucket, _bucket_bytes,
+                                         _payload_synthesis_fn)
+    from vc2tpu.pipeline.encoder import Encoder
+    from vc2tpu.slices.hq import scan_hq_slice_offsets
+    from vc2tpu.vlc import device_unpack as du
+
+    h, w, bits = args.h, args.w, 10
+    cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
+                        kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                        y_size=2, x_size=2, mode=Mode.HQ_ConstQ,
+                        luma_depth=bits, chroma_depth=bits,
+                        frame_rate=FrameRate.FR50, q_index=args.q)
+    (y, c1, c2) = synth_frames(1, h, w, bits)[0]
+    off = 1 << (bits - 1)
+    enc = Encoder(cfg)
+    e = enc.encode_picture(Picture(y - off, c1 - off, c2 - off,
+                                   ColourFormat.CF422))
+    geo = enc.geo
+    pl = np.frombuffer(e.payload, np.uint8)
+    qs, dstart, cbytes, _ = scan_hq_slice_offsets(pl, geo.n_slices,
+                                                  cfg.slice_prefix,
+                                                  cfg.slice_scalar)
+    Ly = geo.luma_slice[0] * geo.luma_slice[1]
+    Lc = geo.chroma_slice[0] * geo.chroma_slice[1]
+    wc = tuple(du.window_words(_bucket_bytes(int(cbytes[c].max())),
+                               (Ly, Lc, Lc)[c]) for c in range(3))
+    print(f"{h}x{w} q={args.q}: payload {len(pl)} B, {geo.n_slices} slices, "
+          f"lanes ({Ly},{Lc},{Lc}), window words {wc}")
+
+    padded = np.zeros(_bucket((len(pl) + 3) // 4 * 4 + 8), np.uint8)
+    padded[:len(pl)] = pl
+    pay = jnp.asarray(padded)
+    clens = jnp.asarray(cbytes, jnp.int32)
+    ds = jnp.asarray(dstart, jnp.int32)
+    qi = jnp.asarray(qs, jnp.int32)
+    qmb = jnp.asarray(enc.qmatrix.astype(np.int32))
+
+    # stage 1: window gather + mask only (materialise the blocks)
+    def gather_only(prev):
+        dep = (jnp.uint8(0) if prev is None
+               else (prev.ravel()[0] & 1).astype(jnp.uint8))
+        words = du.assemble_words(pay.at[-1].set(dep))
+        base = ds[0] >> 2
+        j = jnp.arange(wc[0], dtype=jnp.int32)
+        blk = words[base[:, None] + j[None, :]]
+        return blk.sum(axis=1).astype(jnp.uint32)  # force materialisation
+
+    chain_ms(gather_only, label="luma block gather")
+
+    # stage 2: entropy unpack only
+    def unpack_only(prev):
+        dep = (jnp.uint8(0) if prev is None
+               else (prev[0].ravel()[0] & 1).astype(jnp.uint8))
+        words = du.assemble_words(pay.at[-1].set(dep))
+        qy = du.unpack_component(words, ds[0], clens[0], Ly, wc[0])
+        qu, qv = du.unpack_chroma_pair(words, ds[1], ds[2], clens[1],
+                                       clens[2], Lc, max(wc[1], wc[2]))
+        return qy, qu, qv
+
+    chain_ms(unpack_only, label="entropy unpack (all planes)")
+
+    # stage 3: the full on-chip decode step
+    geo_key = (geo.y_slices, geo.x_slices, *geo.luma_slice,
+               *geo.chroma_slice)
+    og = PictureGeometry.of(h, w, ColourFormat.CF422)
+    out_key = (og.luma_height, og.luma_width, og.chroma_height,
+               og.chroma_width)
+    pfn = _payload_synthesis_fn(cfg.kernel, cfg.wavelet_depth, geo_key,
+                                out_key, bits, True, cfg.slice_prefix, wc)
+
+    def full_step(prev):
+        dep = (jnp.uint8(0) if prev is None
+               else (prev.ravel()[0] & 1).astype(jnp.uint8))
+        return pfn(pay.at[-1].set(dep), clens, jnp.int32(0), qi, qmb)
+
+    ms = chain_ms(full_step, label="full on-chip decode step")
+    if ms > 0:
+        print(f"=> {1000.0 / ms:.1f} fps/chip (device compute only)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
