@@ -94,7 +94,28 @@ CASES = [
                                    "-s", "32768"]),
     ("ld_midsize", "midsize422", ["-m", "LD", "-k", "LeGall", "-d", "2",
                                   "-u", "2", "-a", "2", "-s", "32768"]),
+    ("ld_interlaced", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
+                                  "-u", "1", "-a", "2", "-s", "2048", "-i"]),
 ]
+
+# Cases the reference cannot decode because of defects in the reference
+# itself; the .dec fixture is OUR decoder's output — a regression pin for
+# the only self-consistent interpretation, sanity-checked in
+# tests/test_golden.py::test_ld_interlaced_reference_defect.
+#
+# ld_interlaced — the reference has NO working decode path for it:
+# * DecodeStream: the encoder writes the preamble slice_bytes rational
+#   from the per-FIELD byte count (EncodeStream.cpp:413 with pictureBytes
+#   = compressedBytes/2 at :377), but the decoder reconstructs
+#   compressedBytes from that rational (DecodeStream.cpp:312) and halves
+#   it AGAIN (:335) — it reads each field at half its real size, desyncs,
+#   and exits ("Read bytes do not match expected parse_info_header").
+# * The encoder's in-process `-o Decoded`/PSNR tap: LD quantises WITH DC
+#   prediction (EncodeStream.cpp:544 quantise_transform) but the tap
+#   inverse-quantises WITHOUT it (:651 inverse_quantise_transform_np), so
+#   the tap's LD output is wrong (~30x the true MSE on this content).
+# * DecodeFrame's LD mode has its own defects (see cli/decode_frame.py).
+REF_DECODE_DEFECTS = {"ld_interlaced"}
 
 TAP_CASES = [
     ("constq_legall_d2", "Transform"),
@@ -170,7 +191,22 @@ def main():
         src = os.path.join(GOLDEN, f"{inp}.16p2")
         stream = os.path.join(GOLDEN, f"{case}.vc2")
         run(base + extra + [src, stream])
-        run([dec, stream, os.path.join(GOLDEN, f"{case}.dec.16p2")])
+        dec_out = os.path.join(GOLDEN, f"{case}.dec.16p2")
+        if case in REF_DECODE_DEFECTS:
+            import io
+
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")  # never probe axon
+            from vc2tpu.cli.decode_stream import Decoder
+
+            sink = io.BytesIO()
+            d = Decoder(sink=sink, route="host")
+            assert d.run(open(stream, "rb").read()) == 0
+            with open(dec_out, "wb") as f:
+                f.write(sink.getvalue())
+        else:
+            run([dec, stream, dec_out])
     for case, tap in TAP_CASES:
         inp = next(i for c, i, _ in CASES if c == case)
         extra = next(e for c, _, e in CASES if c == case)

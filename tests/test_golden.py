@@ -76,6 +76,37 @@ def test_decode_stream_bit_exact(case, inp, extra, route, tmp_path):
     assert sink.getvalue() == ref
 
 
+def test_ld_interlaced_reference_defect():
+    """The reference cannot decode its own LD interlaced output anywhere:
+    DecodeStream halves the preamble-derived byte count a second time
+    (DecodeStream.cpp:312 + :335 vs EncodeStream.cpp:377+413) and desyncs;
+    the encoder's in-process Decoded/PSNR tap inverse-quantises LD without
+    the DC prediction the encode applied (EncodeStream.cpp:544 vs :651).
+    Our decoder deviates deliberately (no second halving, predictive
+    inverse); the golden .dec fixture is our own output (regression pin,
+    see tests/make_golden.py REF_DECODE_DEFECTS). This test sanity-checks
+    that pin against the SOURCE: the reconstruction error must be at
+    LD-coding-loss scale, not desync-garbage scale (the broken reference
+    tap measures ~1600x worse on this stream)."""
+    import numpy as np
+
+    got = open(os.path.join(GOLDEN, "ld_interlaced.dec.16p2"), "rb").read()
+    src = open(os.path.join(GOLDEN, "tiny422.16p2"), "rb").read()
+    assert len(got) == len(src)
+    g = np.frombuffer(got, ">u2").astype(np.int64)
+    s = np.frombuffer(src, ">u2").astype(np.int64)
+    mse = float(((g - s) ** 2).mean())
+    assert mse < 500_000, f"LD interlaced decode looks broken (MSE {mse})"
+
+    refbin = "/tmp/refbuild/bin/DecodeStream"
+    if os.path.exists(refbin):        # document the defect against the live binary
+        import subprocess
+
+        r = subprocess.run([refbin, os.path.join(GOLDEN, "ld_interlaced.vc2"),
+                            os.devnull], capture_output=True, text=True)
+        assert r.returncode != 0 and "parse_info" in (r.stdout + r.stderr)
+
+
 @pytest.mark.parametrize("case,tap", [tuple(t) for t in META["taps"]],
                          ids=[f"{c}-{t}" for c, t in META["taps"]])
 def test_encoder_tap_outputs(case, tap, tmp_path):

@@ -75,7 +75,7 @@ def _fetch_bytes_estimate(out_geom: PictureGeometry, hdr) -> int:
     3 samples/uint32 on device; otherwise one word per sample)."""
     samples = (out_geom.luma_height * out_geom.luma_width
                + 2 * out_geom.chroma_height * out_geom.chroma_width)
-    if hdr.bitdepth == 10 and not hdr.interlace:
+    if hdr.bitdepth == 10:
         return 4 * ((samples + 2) // 3)
     return samples * (1 if hdr.bitdepth <= 8 else 2)
 
@@ -270,13 +270,18 @@ class Decoder:
                     self.log(f"Dropping second field {picnum} whose first "
                              "field was not decoded")
                     return
-                self._first_words = words
+                self._first_words = (words, post)
                 self._first_picnum = picnum
                 self.pic = 1
                 return
             self.pic = 0
-            first = np.asarray(self._first_words)
-            second = np.asarray(words)
+            # expand each field to wire bytes (post applies e.g. the 10-bit
+            # unpack of a packed device fetch), then interleave rows as
+            # opaque wire elements
+            elem = np.uint8 if hdr.bitdepth == 8 else np.uint16
+            w1, p1 = self._first_words
+            first = np.frombuffer(p1(np.asarray(w1)), elem)
+            second = np.frombuffer(post(np.asarray(words)), elem)
             self._first_words = None
             top, bottom = ((first, second) if hdr.top_field_first
                            else (second, first))
@@ -398,9 +403,16 @@ class Decoder:
             self._combined = data.combined
             self._widths = data.widths
         else:
-            compressed = (pre.slice_bytes_numerator * ys * xs
-                          // pre.slice_bytes_denominator)
-            picture_bytes = compressed // 2 if hdr.interlace else compressed
+            # The preamble's slice_bytes rational already carries the bytes
+            # of THIS picture (the encoder rationalises the per-FIELD byte
+            # count when interlaced, EncodeStream.cpp:413) — do NOT halve
+            # again. The reference decoder does halve a second time
+            # (DecodeStream.cpp:312 + :335) and therefore desyncs on its
+            # own encoder's LD interlaced output ("Read bytes do not match
+            # expected parse_info_header"); deliberate deviation, see
+            # tests/test_golden.py::test_ld_interlaced_reference_defect.
+            picture_bytes = (pre.slice_bytes_numerator * ys * xs
+                             // pre.slice_bytes_denominator)
             sizes = layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
             if (self.output in (DecOutput.DECODED, DecOutput.TRANSFORM)
                     and self._route not in ("device", "mesh")
@@ -478,7 +490,7 @@ class Decoder:
                     payload_d, q_idx, cbytes, qmatrix, pre.wavelet_kernel,
                     pre.depth, geo, out_geom, hdr.bitdepth,
                     pre.slice_prefix, start=start_d,
-                    allow_pack=not hdr.interlace)
+                    allow_pack=True)
                 self._emit_words(words, post)
                 return
             if self._fused is not None:
@@ -519,7 +531,7 @@ class Decoder:
                 words, post = synthesise_to_words(
                     combined, q_idx, qmatrix, pre.wavelet_kernel, pre.depth,
                     geo, out_geom, hdr.bitdepth,
-                    allow_pack=not hdr.interlace, widths=self._widths)
+                    allow_pack=True, widths=self._widths)
             self._emit_words(words, post)
             return
         else:
@@ -558,7 +570,7 @@ class Decoder:
             else:
                 words, post = synthesise_transform_to_words(
                     transform, pre.wavelet_kernel, pre.depth, out_geom,
-                    hdr.bitdepth, allow_pack=not hdr.interlace)
+                    hdr.bitdepth, allow_pack=True)
             self._emit_words(words, post)
             return
 
@@ -769,9 +781,10 @@ class Decoder:
             # would otherwise silently decode zeros past the window; the HQ
             # scan raises on its own)
             ys0 = pre.slices_y
-            compressed = (pre.slice_bytes_numerator * ys0 * pre.slices_x
-                          // pre.slice_bytes_denominator)
-            pb = (compressed // 2 if self.hdr.interlace else compressed)
+            # per-picture bytes straight from the preamble (no interlace
+            # re-halving — see _decode_picture_payload)
+            pb = (pre.slice_bytes_numerator * ys0 * pre.slices_x
+                  // pre.slice_bytes_denominator)
             need = rd.r.byte_pos + int(layout.slice_bytes_map(
                 ys0, pre.slices_x, pb, 1).sum())
             if need > len(rd.data):
@@ -789,9 +802,8 @@ class Decoder:
                     payload, geo.n_slices, pre.slice_prefix,
                     pre.slice_size_scalar, rd.r.byte_pos)
         else:
-            compressed = (pre.slice_bytes_numerator * geo.n_slices
-                          // pre.slice_bytes_denominator)
-            pb = (compressed // 2 if self.hdr.interlace else compressed)
+            pb = (pre.slice_bytes_numerator * geo.n_slices
+                  // pre.slice_bytes_denominator)
             end = rd.r.byte_pos + int(layout.slice_bytes_map(
                 geo.y_slices, geo.x_slices, pb, 1).sum())
         self._finish_picture(pre, geo, pic_h, q_idx, ly, lu, lv, hq)
