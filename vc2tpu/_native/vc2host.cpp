@@ -543,6 +543,7 @@ struct LDLaneQuantiser {
   int v, h;
   int32_t body_max;    // max |coeff| over the non-LL lanes (current slice)
   int32_t qm_body_max; // max quant-matrix value over the non-LL lanes
+  int32_t qm_body_min; // min quant-matrix value over the non-LL lanes
 
   uint32_t* m4s;       // |coeff|<<2 per body lane (the quant numerator)
   int32_t* blms;       // its bit length
@@ -565,13 +566,18 @@ struct LDLaneQuantiser {
     lly = scratch + 6 * L; llx = lly + nLL;
     decodedLL = dll; v = 0; h = 0;
     qm_body_max = 0;
+    qm_body_min = 1 << 30;
     for (int k = 0; k < L; ++k) {
       const int by = perm[k] / sliceW, bx = perm[k] % sliceW;
       qm_lane[k] = qm_block[perm[k]];
       off_block[k] = by * W + bx;
       if (k < nLL) { lly[k] = by / ts; llx[k] = bx / ts; }
-      else if (qm_lane[k] > qm_body_max) qm_body_max = qm_lane[k];
+      else {
+        if (qm_lane[k] > qm_body_max) qm_body_max = qm_lane[k];
+        if (qm_lane[k] < qm_body_min) qm_body_min = qm_lane[k];
+      }
     }
+    if (L == nLL) qm_body_min = 0;
   }
 
   void load_slice() {
@@ -599,6 +605,7 @@ struct LDLaneQuantiser {
   // svlc_bits(c_quant(vals[k], aq)) for |coeff| < 2^29 (the quantiser's
   // exact domain) — same derivation as rdo/cbr._component_bits_fast.
   inline int body_nb(int k, int aq) const {
+    if (aq > 119) aq = 119;   // qf_i32's clamp, so the tables stay in-domain
     const uint32_t m4 = m4s[k];
     const uint32_t qf = kAbsQf[aq];
     if (m4 < qf) return 1;
@@ -624,9 +631,24 @@ struct LDLaneQuantiser {
     for (int k = 0; k < nLL; ++k) ll_lane(qIndex, k, y0, x0);
   }
 
+  // Smallest |quant_factor| over the body lanes' reachable adjusted
+  // indices. kAbsQf is NOT monotone: it rises to the int32 wrap at
+  // aq=116 and falls across the wrapped entries 117-119 (the reference's
+  // quant_factor overflows int there and our quantiser matches the
+  // wrapped arithmetic), so comparing against kAbsQf[aq_min] alone would
+  // mis-declare lanes zero whose own (higher, wrapped-smaller) adjusted
+  // index still quantises them nonzero. The curve is unimodal, so the
+  // minimum over the contiguous clamped range is at an endpoint.
+  inline uint32_t body_zero_thr(int qIndex) const {
+    int lo = adjust_q(qIndex, qm_body_max);
+    int hi = adjust_q(qIndex, qm_body_min);
+    if (lo > 119) lo = 119;
+    if (hi > 119) hi = 119;
+    return kAbsQf[lo] < kAbsQf[hi] ? kAbsQf[lo] : kAbsQf[hi];
+  }
+
   bool body_all_zero(int qIndex) const {
-    const int aq_min = adjust_q(qIndex, qm_body_max);
-    return static_cast<int64_t>(body_max) * 4 < kAbsQf[aq_min];
+    return static_cast<int64_t>(body_max) * 4 < body_zero_thr(qIndex);
   }
 
   // Fused probe: LL recurrence + body count with the truncation rule and
@@ -672,17 +694,14 @@ struct LDLaneQuantiser {
       nb[k] = static_cast<uint8_t>(svlc_bits(qv));
     }
     // all-zero-body shortcut: if even the largest coefficient under the
-    // least-quantising adjusted index rounds to zero, every non-LL lane is
-    // a 1-bit zero code — skip the trial-quantise scan entirely
-    {
-      const int aq_min = adjust_q(qIndex, qm_body_max);
-      const int qf = qf_i32(aq_min);
-      if (qf > 0 && static_cast<int64_t>(body_max) * 4 < qf) {
-        std::memset(nb + nLL, 1, static_cast<size_t>(L - nLL));
-        if (out) std::memset(out + nLL, 0,
-                             static_cast<size_t>(L - nLL) * sizeof(int32_t));
-        return;
-      }
+    // smallest reachable |quant_factor| (body_zero_thr handles the wrapped
+    // non-monotone entries) rounds to zero, every non-LL lane is a 1-bit
+    // zero code — skip the trial-quantise scan entirely
+    if (static_cast<int64_t>(body_max) * 4 < body_zero_thr(qIndex)) {
+      std::memset(nb + nLL, 1, static_cast<size_t>(L - nLL));
+      if (out) std::memset(out + nLL, 0,
+                           static_cast<size_t>(L - nLL) * sizeof(int32_t));
+      return;
     }
     if (out) {
       for (int k = nLL; k < L; ++k) {
