@@ -16,41 +16,18 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 
-def chain_ms(step, n_lo=4, n_hi=16, reps=3, label=""):
-    import jax
-    from jax import lax
+def chain_ms(step, label=""):
+    """bench.chain_ms (the one copy of the fori-loop slope recipe and its
+    correctness caveats) at this script's shorter loop lengths."""
+    from bench import chain_ms as _chain_ms
 
-    init = step(None)
-    body = lambda i, c: step(c)
-    run_lo = jax.jit(lambda c: lax.fori_loop(0, n_lo, body, c))
-    run_hi = jax.jit(lambda c: lax.fori_loop(0, n_hi, body, c))
-
-    def force(c):
-        return np.asarray(jax.tree_util.tree_leaves(c)[0].ravel()[:1])
-
-    force(run_lo(init))
-    force(run_hi(init))
-    times = {}
-    for nm, run in (("lo", run_lo), ("hi", run_hi)):
-        best = float("inf")
-        c = init
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            c = run(c)
-            force(c)
-            best = min(best, time.perf_counter() - t0)
-        times[nm] = best
-    dt = max((times["hi"] - times["lo"]) / (n_hi - n_lo) * 1e3, 0.0)
-    print(f"{label}: {dt:.2f} ms/step  (lo {times['lo']*1e3:.0f} ms/{n_lo}, "
-          f"hi {times['hi']*1e3:.0f} ms/{n_hi})")
-    return dt
+    return _chain_ms(step, n_lo=4, n_hi=16, reps=3, label=label)
 
 
 def main():

@@ -103,6 +103,47 @@ def test_fragment_zero_next_offset_grows_window():
     assert sink.getvalue() == ref
 
 
+def test_fragment_decode_failure_skips_without_retry(capsys):
+    """A complete fragmented picture whose assembled payload fails to
+    decode (inflated slice length -> chain overrun) is skipped with ONE
+    failure report — deterministic decode errors must not grow-and-retry
+    — and the stream continues to the next picture."""
+    stream = bytearray((GOLDEN / "cbr_fragmented.vc2").read_bytes())
+    frags = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xEC]
+    body_frags = [i for i in frags
+                  if int.from_bytes(stream[i + 19:i + 21], "big") > 0]
+    assert body_frags
+    # first body fragment of picture 1: byte 25 is the first slice's
+    # qIndex, byte 26 its luma length (prefix 0, scalar 1) — inflate it so
+    # the assembled chain overruns the payload
+    stream[body_frags[0] + 26] = 0xFF
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run_stream(io.BytesIO(bytes(stream)), chunk_bytes=64) == 0
+    assert dec.frames_out == 1
+    err = capsys.readouterr().err
+    assert err.count("Failed to decode fragmented picture") == 1
+
+
+def test_duplicate_fragment_span_does_not_complete_picture():
+    """A retransmitted/duplicated slice span must not double-count
+    slices_decoded: the picture stays incomplete (and is dropped at end
+    of stream) instead of being assembled with a hole."""
+    stream = bytearray((GOLDEN / "cbr_fragmented.vc2").read_bytes())
+    frags = [i for i in _parse_infos(bytes(stream)) if stream[i + 4] == 0xEC]
+    body_frags = [i for i in frags
+                  if int.from_bytes(stream[i + 19:i + 21], "big") > 0]
+    assert len(body_frags) >= 3
+    # give the second body fragment the FIRST one's slice offset: same
+    # reassembly key, so its span lands on top of the first's
+    a, b = body_frags[0], body_frags[1]
+    stream[b + 21:b + 25] = stream[a + 21:a + 25]
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run_stream(io.BytesIO(bytes(stream)), chunk_bytes=64) == 0
+    assert dec.frames_out == 1          # picture 2 only; picture 1 is short
+
+
 def test_truncated_final_slice_is_rejected():
     """A final slice whose component data runs past the data-unit end must
     fail the picture (and be skipped), not silently mis-seek the reader."""

@@ -18,6 +18,7 @@ import numpy as np
 
 from vc2tpu.core.config import DecOutput, PictureGeometry
 from vc2tpu.core.picture import Picture
+from vc2tpu.core.platform import honour_jax_platforms
 from vc2tpu.core.planario import SampleFormat, write_picture
 from vc2tpu.pipeline import host_synth
 from vc2tpu.pipeline.decoder import (synthesise_lanes,
@@ -68,6 +69,12 @@ class _FragState:
     preamble: object
     payload_parts: dict            # first-slice-index -> bytes
     slices_decoded: int = 0
+
+
+class _FragmentDecodeError(Exception):
+    """The fragment unit itself was complete but the assembled picture
+    failed to decode — a deterministic failure that growing the read
+    window cannot fix, so the dispatch loop must skip, not retry."""
 
 
 def _fetch_bytes_estimate(out_geom: PictureGeometry, hdr) -> int:
@@ -453,6 +460,16 @@ class Decoder:
             write_picture(self.sink, pic, sig_fmt)
             return
         out_geom = PictureGeometry.of(pic_h, hdr.width, hdr.chroma_format)
+        if self._route == "mesh" and not (hq
+                                          and self.output == DecOutput.DECODED):
+            # tell the user --mesh is not in effect (mirrors the
+            # incompatible-geometry fallback notice in _sharded_decoder)
+            if not getattr(self, "_mesh_inert_logged", False):
+                self._mesh_inert_logged = True
+                why = ("LD pictures" if not hq
+                       else f"output mode {self.output.value}")
+                print(f"--mesh: no sharded path for {why}; decoding "
+                      "single-chip", file=sys.stderr)
         if hq and self._route == "mesh" and self.output == DecOutput.DECODED:
             sdec = self._sharded_decoder(pre, geo)
             if sdec is not None:
@@ -747,6 +764,16 @@ class Decoder:
                         end = self._handle_fragment(rd, hq)
                         consume(min(end, len(window)))
                         break
+                    except _FragmentDecodeError as exc:
+                        # the assembled picture failed to decode — a bigger
+                        # window cannot help; skip, and drop any buffered
+                        # first field (mirrors the picture failure path)
+                        print(f"Failed to decode fragmented picture "
+                              f"({exc.args[0]})", file=sys.stderr)
+                        self.pic = 0
+                        self._first_words = None
+                        skip(next_off if next_off >= 13 else 13)
+                        break
                     except Exception as exc:
                         # a fragment body may extend past a zero/lying
                         # next_parse_offset: grow the window and retry
@@ -830,34 +857,33 @@ class Decoder:
             return rd.r.byte_pos
         first = (frag.slice_offset_y * st.preamble.slices_x
                  + frag.slice_offset_x)
+        # idempotent under the dispatch loop's grow-and-retry (and under
+        # duplicate fragments): a span already seen must not double-count
+        if first not in st.payload_parts:
+            st.slices_decoded += frag.n_slices
         st.payload_parts[first] = body
-        st.slices_decoded += frag.n_slices
         needed = st.preamble.slices_x * st.preamble.slices_y
         if st.slices_decoded >= needed:
+            # the unit is complete from here on: drop the reassembly state
+            # first so a decode failure neither leaves half-state behind
+            # nor gets retried with a bigger window (it is deterministic)
+            del self.frags[picnum]
             payload = b"".join(p for _, p in sorted(st.payload_parts.items()))
             arr = np.frombuffer(payload, dtype=np.uint8)
-            geo, pic_h, q_idx, ly, lu, lv = \
-                self._decode_picture_payload(st.preamble, arr, hq)
-            self._cur_picnum = picnum
-            self._finish_picture(st.preamble, geo, pic_h, q_idx, ly, lu, lv,
-                                 hq)
-            del self.frags[picnum]
+            try:
+                geo, pic_h, q_idx, ly, lu, lv = \
+                    self._decode_picture_payload(st.preamble, arr, hq)
+                self._cur_picnum = picnum
+                self._finish_picture(st.preamble, geo, pic_h, q_idx, ly, lu,
+                                     lv, hq)
+            except Exception as exc:
+                raise _FragmentDecodeError(exc) from exc
         return rd.r.byte_pos
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    # The image's axon TPU plugin overrides JAX_PLATFORMS; honour an
-    # explicit platform request (e.g. JAX_PLATFORMS=cpu with a virtual
-    # device mesh) through jax.config.
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        try:
-            import jax
-
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+    honour_jax_platforms()
     # incremental input: memory stays O(one data unit) regardless of stream
     # length (reference DecodeStream.cpp:205 istream loop)
     fp = sys.stdin.buffer if args.inFile == "-" else open(args.inFile, "rb")

@@ -19,6 +19,7 @@ from vc2tpu.core import intmath
 from vc2tpu.core.config import (ColourFormat, EncOutput, EncoderConfig, FrameRate,
                                 Mode, PictureGeometry, Profile, WaveletKernel)
 from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
+from vc2tpu.core.platform import honour_jax_platforms
 from vc2tpu.core.planario import PlanarReader, SampleFormat, encode_plane, write_picture
 from vc2tpu.pipeline.encoder import Encoder
 from vc2tpu.pipeline import ld as ld_pipeline
@@ -404,17 +405,7 @@ def run(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    # The image's axon TPU plugin overrides JAX_PLATFORMS; honour an
-    # explicit platform request (e.g. JAX_PLATFORMS=cpu with a virtual
-    # device mesh) through jax.config.
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        try:
-            import jax
-
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+    honour_jax_platforms()
     if args.profile:
         import jax
 

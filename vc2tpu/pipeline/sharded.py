@@ -330,13 +330,23 @@ class ShardedEncoder:
                                      pictures)
 
     def _fetch_heads(self, bufs, B):
-        """Per-(picture, shard) (flags, q, totals) heads — a few KB of
-        fetches; ``bufs`` indexes as (B, space*seg) device or host array."""
+        """Per-(picture, shard) (flags, q, totals) heads; ``bufs`` indexes
+        as (B, space*seg) device or host array. All B*space head regions
+        come over in ONE gathered transfer — the link is serial with
+        ~40 ms latency per D2H round trip, so per-(picture, shard) fetches
+        would cost B*space round trips for a few hundred bytes each."""
         head = device_pack.head_bytes(self.n_loc)
         seg = head + self.cap_local
-        heads = [[device_pack.unpack_result(
-            np.asarray(bufs[b, s * seg:s * seg + head]), self.n_loc)[:3]
-            for s in range(self.space)] for b in range(B)]
+        idx = (np.arange(self.space)[:, None] * seg
+               + np.arange(head)[None, :]).ravel()        # (space*head,)
+        # ascontiguousarray: mixed basic+advanced indexing of a host array
+        # lands the advanced axis first in memory, and unpack_result views
+        # the rows as uint32/int32 (contiguity required); the copy is heads
+        # only, a few KB
+        all_heads = np.ascontiguousarray(
+            np.asarray(bufs[:, idx])).reshape(B, self.space, head)
+        heads = [[device_pack.unpack_result(all_heads[b, s], self.n_loc)[:3]
+                  for s in range(self.space)] for b in range(B)]
         return heads, head, seg
 
     def _stream_payloads(self, writer, bufs, heads, head, seg, fallback,
@@ -499,11 +509,19 @@ class ShardedDecoder:
         return self.synthesise(data.q_indices, ly, lu, lv)
 
     def decode_payload_device(self, payload: np.ndarray, q_idx, dstart,
-                              cbytes):
+                              cbytes, prefix: int | None = None,
+                              scalar: int | None = None, start: int = 0):
         """One picture's slice payload -> (y, c1, c2) padded planes with the
         entropy unpack ON DEVICE, each shard decoding its own slice run
         (make_sharded_payload_decode_step). Host work is only the chain scan
-        whose (q, dstart, cbytes) rows arrive here."""
+        whose (q, dstart, cbytes) rows arrive here.
+
+        The per-shard window block is sized by the LARGEST component
+        region, so a pathologically skewed stream (one huge slice among
+        thousands of tiny ones) can inflate it far past the payload size;
+        when ``prefix``/``scalar`` are provided, such streams fall back to
+        the host-unpack ``decode_payload`` route instead of requesting an
+        enormous device allocation."""
         from vc2tpu.pipeline.decoder import _bucket, _bucket_bytes
         from vc2tpu.vlc import device_unpack
 
@@ -516,6 +534,12 @@ class ShardedDecoder:
                 _bucket_bytes(int(cbytes[c].max(initial=0))),
                 (Ly, Lc, Lc)[c])
             for c in range(3))
+        if prefix is not None:
+            n_shard = geo.n_slices // self.mesh.shape["space"]
+            if (device_unpack.block_bytes_estimate(n_shard, word_counts)
+                    > (1 << 28)):
+                return self.decode_payload(payload, prefix, scalar,
+                                           start=start)
         p4 = _bucket((len(payload) + 3) // 4 * 4 + 8)
         key = (word_counts, p4)
         step = self._payload_steps.get(key)

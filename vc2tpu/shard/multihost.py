@@ -248,7 +248,10 @@ class MultiHostDecoder:
             q, dstart, cbytes, _ = scan_hq_slice_offsets(
                 np.ascontiguousarray(payload, np.uint8), self.geo.n_slices,
                 prefix, scalar)
-            return self.sdec.decode_payload_device(payload, q, dstart, cbytes)
+            # prefix/scalar enable the skewed-stream host-unpack fallback
+            return self.sdec.decode_payload_device(payload, q, dstart,
+                                                   cbytes, prefix=prefix,
+                                                   scalar=scalar)
         return self.sdec.decode_payload(payload, prefix, scalar)
 
     def decode_pictures(self, items, prefix: int, scalar: int,
