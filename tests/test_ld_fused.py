@@ -340,6 +340,8 @@ def test_fused_corrupt_payload_matches_lane_path():
     for _trial in range(8):
         payload = rng.integers(0, 256, int(sizes.sum()),
                                dtype=np.uint8)      # pure noise payload
+        if _trial % 2:                               # and truncated payloads:
+            payload = payload[:-11]                  # past-EOF reads are 1s
         q2, dly, dlu, dlv, _ = decode_ld_slices(payload, sizes, (Ly, Lc))
         quantised = Picture(
             layout.lanes_to_plane(dly, ys, xs, sh, sw, depth),

@@ -121,3 +121,35 @@ def test_truncated_stream_decodes_zeros():
     out = unpack_signed_streams(payload, np.array([0]), np.array([nbits]), 10)
     assert out[0, 0] == 5
     assert (out[0, 1:] == 0).all()
+
+
+def test_truncated_payload_reads_ones_both_routes(monkeypatch):
+    """Bounded regions extending past the PAYLOAD end (not just past the
+    bound) read 1-bits — the reference istream returns 0xFF at EOF — and
+    the NumPy fallback must match the native engine bit for bit, including
+    on an empty payload."""
+    import vc2tpu.vlc.bitpack as bp
+    from vc2tpu._native.bridge import native
+
+    w = BitWriter()
+    for v in (3, -7, 120, 0, 0, -1, 9):
+        w.put_svlc(v)
+    w.align()
+    full = np.frombuffer(w.getvalue(), dtype=np.uint8)
+    starts = np.array([0, 8])
+    bounds = np.array([len(full) * 8 + 40, len(full) * 8])  # past payload
+    cases = [full[:max(len(full) - 2, 1)],                   # truncated
+             np.zeros(0, np.uint8)]                          # empty
+    for payload in cases:
+        want = unpack_signed_streams(payload, starts, bounds, 8)
+        monkeypatch.setattr(bp, "native", None)
+        got = bp.unpack_signed_streams(payload, starts, bounds, 8)
+        monkeypatch.setattr(bp, "native", native)
+        np.testing.assert_array_equal(got, want)
+    # past-EOF bits are ones: an empty payload's first code never
+    # terminates a magnitude with a 0-data bit, so everything decodes 0
+    # only once the bound is exhausted; with bound >= 2 bits the all-ones
+    # region decodes as zero-magnitude codes
+    out = unpack_signed_streams(np.zeros(0, np.uint8), np.array([0]),
+                                np.array([10]), 4)
+    assert (out == 0).all()

@@ -114,14 +114,7 @@ def encode_hq_slices(q_indices: np.ndarray, lanes_y: np.ndarray,
     all_codes, all_nbits, all_offsets = [], [], []
     for comp in range(3):
         lanes = lanes_all[comp]
-        if native is not None:
-            codes = np.empty(lanes.size, dtype=np.uint64)
-            nb = np.empty(lanes.size, dtype=np.uint32)
-            native.encode_lanes(lanes, codes, nb)
-            codes = codes.reshape(lanes.shape)
-            nbits = nb.reshape(lanes.shape)
-        else:
-            codes, nbits = golomb.signed_codes_np(lanes)
+        codes, nbits = golomb.signed_codes_np(lanes)
         nbits64 = nbits.astype(np.int64)
         cum = np.cumsum(nbits64, axis=1) - nbits64      # exclusive prefix sum
         bound = comp_bytes[comp][:, None] * 8
@@ -182,21 +175,16 @@ def scan_hq_slice_offsets(payload: np.ndarray, n_slices: int, prefix: int,
 
 def decode_hq_slices(payload: np.ndarray, n_slices: int, prefix: int,
                      scalar: int, lane_counts: tuple[int, int, int],
-                     start: int = 0,
-                     cbr_slice_sizes: np.ndarray | None = None) -> HQSliceData:
+                     start: int = 0) -> HQSliceData:
     """Decode a run of HQ slices from ``payload`` (uint8 array).
 
-    When ``cbr_slice_sizes`` is given, validates the third component length
-    as HQSliceIO_CBR does (Slices.cpp:443-446); decoding itself always uses
-    the self-describing lengths, like the reference decoder.
+    HQ slices are always parsed with the self-describing VBR lengths, as
+    the reference decoder does (DecodeStream.cpp:512 — HQSliceIO_CBR's
+    read-side length validation, Slices.cpp:443-446, is never reached
+    from a stream decode).
     """
     q, dstart, cbytes, end = scan_hq_slice_offsets(payload, n_slices, prefix,
                                                    scalar, start)
-    if cbr_slice_sizes is not None:
-        sizes = cbr_slice_sizes.astype(np.int64).ravel()
-        expect = sizes - 4 - cbytes[0] - cbytes[1]
-        if (cbytes[2] != expect).any():
-            raise ValueError("SliceIO, HQ CBR mode: Wrong number of bytes for a slice")
     if native is not None:
         payload = np.ascontiguousarray(payload, np.uint8)
         sizes = [n_slices * lc for lc in lane_counts]

@@ -109,7 +109,10 @@ def decode_ld_slices(payload: np.ndarray, slice_sizes: np.ndarray,
     Ly, Lc = lane_counts
     starts = start + np.concatenate([[0], np.cumsum(sizes)])[:-1]
     s_bits = starts * 8
-    bits = np.unpackbits(payload)
+    # trailing 1-pad: header fields of slices past the payload end read
+    # 1-bits (reference istream at EOF returns 0xFF), not copies of the
+    # last real bit — the clamp lands every past-end index on the pad
+    bits = np.concatenate([np.unpackbits(payload), np.ones(1, np.uint8)])
 
     def field(offsets, widths):
         out = np.zeros(n, dtype=np.int64)

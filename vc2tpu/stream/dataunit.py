@@ -216,6 +216,12 @@ class FragmentWriter:
         """Append the next run of slices (sizes + their contiguous payload
         bytes, raster order); completed fragments are written immediately."""
         payload = bytes(payload)
+        # validate BEFORE emitting: a mismatched span must fail fast with
+        # no partial (corrupt) fragments already written to the output
+        total = sum(int(s) for s in slice_sizes)
+        if total != len(payload):
+            raise ValueError(f"fragment span: {len(payload)} payload bytes "
+                             f"but slice sizes sum to {total}")
         pos = 0
         limit = self.w.fragment_length
         for size in slice_sizes:
@@ -227,9 +233,6 @@ class FragmentWriter:
             self._count += 1
             self._next += 1
             pos += size
-        if pos != len(payload):
-            raise ValueError(f"fragment span: {len(payload)} payload bytes "
-                             f"but slice sizes sum to {pos}")
 
     def close(self) -> None:
         """Flush the final fragment (the reference always emits one, even

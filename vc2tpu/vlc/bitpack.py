@@ -35,6 +35,13 @@ def pack_codes(codes: np.ndarray, nbits: np.ndarray, bit_offsets: np.ndarray,
     codes = codes.astype(np.uint64).ravel()
     n = nbits.astype(np.int64).ravel()
     o = bit_offsets.astype(np.int64).ravel()
+    # putBits writes only the low nbits of a value (VLC.cpp:259-281): mask
+    # so a too-wide value cannot bleed into the preceding field's bytes
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    mask = np.where(n >= 64, full,
+                    (np.uint64(1) << np.minimum(n, 63).astype(np.uint64))
+                    - np.uint64(1))
+    codes = codes & mask
     end = o + n
     # clip codes straddling / beyond the bound: keep only bits before total_bits
     over = np.maximum(end - int(total_bits), 0)
@@ -75,7 +82,12 @@ def unpack_signed_streams(payload: np.ndarray, start_bits: np.ndarray,
         native.unpack_streams(payload, len(payload), start_bits.astype(np.int64),
                               bound_bits.astype(np.int64), S, n_lanes, out)
         return out
-    bits = np.unpackbits(payload)
+    # one trailing 1-pad: in-bound reads past the PAYLOAD end must see
+    # 1-bits exactly like the reference istream at EOF (VLC.cpp getBit ->
+    # 0xFF) and the native engine (vc2host.cpp bounded fetch); the clamp
+    # below lands every past-end index on the pad (and makes an empty
+    # payload decode as all-ones instead of crashing)
+    bits = np.concatenate([np.unpackbits(payload), np.ones(1, np.uint8)])
     start = start_bits.astype(np.int64)
     bound = bound_bits.astype(np.int64)
     pos = np.zeros(S, dtype=np.int64)          # bits consumed in region
