@@ -109,24 +109,28 @@ def decode_ld_slices(payload: np.ndarray, slice_sizes: np.ndarray,
     Ly, Lc = lane_counts
     starts = start + np.concatenate([[0], np.cumsum(sizes)])[:-1]
     s_bits = starts * 8
-    # trailing 1-pad: header fields of slices past the payload end read
-    # 1-bits (reference istream at EOF returns 0xFF), not copies of the
-    # last real bit — the clamp lands every past-end index on the pad
-    bits = np.concatenate([np.unpackbits(payload), np.ones(1, np.uint8)])
+    len_bits = np.array([intlog2(int(8 * s - 7)) for s in sizes], dtype=np.int64)
+    # header fields (7-bit qIndex + luma-length) live in the first few
+    # bytes of each byte-aligned slice: unpack ONLY those (the full
+    # payload's bit expansion would be an 8x allocation every picture,
+    # even when the native engine handles all coefficient data). The 0xFF
+    # tail pad gives past-payload reads the reference's at-EOF 1-bits.
+    k = (7 + int(len_bits.max(initial=0)) + 7) // 8
+    buf = np.concatenate([np.asarray(payload, np.uint8),
+                          np.full(k, 0xFF, np.uint8)])
+    idx = np.minimum(starts[:, None] + np.arange(k)[None, :], len(buf) - 1)
+    hbits = np.unpackbits(buf[idx], axis=1).astype(np.int64)   # (n, 8k)
+    rows = np.arange(n)
 
-    def field(offsets, widths):
+    def field(off, widths):
         out = np.zeros(n, dtype=np.int64)
-        maxw = int(widths.max())
-        for b in range(maxw):
+        for b in range(int(widths.max(initial=0))):
             take = b < widths
-            idx = offsets + b
-            bit = np.where(take, bits[np.minimum(idx, bits.size - 1)], 0)
-            out = np.where(take, (out << 1) | bit, out)
+            out = np.where(take, (out << 1) | hbits[rows, off + b], out)
         return out
 
-    len_bits = np.array([intlog2(int(8 * s - 7)) for s in sizes], dtype=np.int64)
-    q = field(s_bits, np.full(n, 7, dtype=np.int64)).astype(np.int32)
-    y_bits = field(s_bits + 7, len_bits)
+    q = field(0, np.full(n, 7, dtype=np.int64)).astype(np.int32)
+    y_bits = field(7, len_bits)
     uv_bits = 8 * sizes - 7 - len_bits - y_bits
     lanes_y = unpack_signed_streams(payload, s_bits + 7 + len_bits, y_bits, Ly)
     uv = unpack_signed_streams(payload, s_bits + 7 + len_bits + y_bits,
