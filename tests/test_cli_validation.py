@@ -28,6 +28,11 @@ def _cfg(extra):
     (["-m", "HQ_ConstQ"], "Quantisation index must be set"),
     (["-m", "HQ_ConstQ", "-q", "120"], "range 0 to 119"),
     (["-m", "HQ_CBR", "-s", "0"], "compressed bytes must be >0"),
+    # an explicit 0 must reach the range check, not silently become the
+    # default (reference EncodeParams.cpp:166-170 isSet() handling)
+    (["-m", "HQ_ConstQ", "-q", "20", "-l", "0"], "bit depth must be in range"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-z", "0"], "bit depth must be in range"),
+    (["-m", "HQ_ConstQ", "-q", "20", "-c", "0"], "bit depth must be in range"),
 ])
 def test_invalid_combinations(extra, msg):
     with pytest.raises(ValueError, match=msg):

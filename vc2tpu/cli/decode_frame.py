@@ -59,9 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--topFieldFirst", action="store_true")
     p.add_argument("-i", "--interlace", action="store_true")
     p.add_argument("-p", "--progressive", action="store_true")
-    p.add_argument("-c", "--chromaDepth", type=int, default=0)
-    p.add_argument("-l", "--lumaDepth", type=int, default=0)
-    p.add_argument("-z", "--bitDepth", type=int, default=0)
+    p.add_argument("-c", "--chromaDepth", type=int, default=None)
+    p.add_argument("-l", "--lumaDepth", type=int, default=None)
+    p.add_argument("-z", "--bitDepth", type=int, default=None)
     p.add_argument("-n", "--bytes", type=int, default=2)
     p.add_argument("-f", "--format", required=True,
                    choices=["4:4:4", "4:2:2", "4:2:0"])
@@ -102,9 +102,11 @@ def _synthesise(ly, lu, lv, q_idx, qmatrix, kernel, depth, geo, out_geom,
 
 
 def run(args) -> int:
-    bit_depth = args.bitDepth or 8 * args.bytes
-    luma_depth = args.lumaDepth or bit_depth
-    chroma_depth = args.chromaDepth or luma_depth
+    # None-aware, not falsy: an explicit 0 must fail validation, not be
+    # silently replaced with the default (see encode_stream.config_from_args)
+    bit_depth = 8 * args.bytes if args.bitDepth is None else args.bitDepth
+    luma_depth = bit_depth if args.lumaDepth is None else args.lumaDepth
+    chroma_depth = luma_depth if args.chromaDepth is None else args.chromaDepth
     chroma_format = ColourFormat.parse(args.format)
     kernel = WaveletKernel.parse(args.kernel)
     depth = args.waveletDepth

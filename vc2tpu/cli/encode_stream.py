@@ -49,9 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--topFieldFirst", action="store_true")
     p.add_argument("-i", "--interlace", action="store_true")
     p.add_argument("-p", "--progressive", action="store_true")
-    p.add_argument("-c", "--chromaDepth", type=int, default=0)
-    p.add_argument("-l", "--lumaDepth", type=int, default=0)
-    p.add_argument("-z", "--bitDepth", type=int, default=0)
+    p.add_argument("-c", "--chromaDepth", type=int, default=None)
+    p.add_argument("-l", "--lumaDepth", type=int, default=None)
+    p.add_argument("-z", "--bitDepth", type=int, default=None)
     p.add_argument("-n", "--bytes", type=int, default=2)
     p.add_argument("-f", "--format", required=True,
                    choices=["4:4:4", "4:2:2", "4:2:0"])
@@ -80,7 +80,8 @@ def config_from_args(args) -> EncoderConfig:
     mode = Mode(args.mode)
     hq = mode in (Mode.HQ_CBR, Mode.HQ_ConstQ)
     rate = mode in (Mode.HQ_CBR, Mode.LD)
-    if args.bitDepth and (args.lumaDepth or args.chromaDepth):
+    if args.bitDepth is not None and (args.lumaDepth is not None
+                                      or args.chromaDepth is not None):
         raise ValueError("bitDepth is incompatible with luma depth (and/or "
                          "chroma depth): use one or the other")
     if args.progressive and args.interlace:
@@ -106,9 +107,13 @@ def config_from_args(args) -> EncoderConfig:
     if mode == Mode.HQ_ConstQ and args.quantIndex is None:
         raise ValueError("Quantisation index must be set in HQ_ConstQ mode")
 
-    bit_depth = args.bitDepth or 8 * args.bytes
-    luma_depth = args.lumaDepth or bit_depth
-    chroma_depth = args.chromaDepth or luma_depth
+    # None-aware (not falsy): an explicit 0 must reach the range check
+    # ("bit depth must be in range 1 to 8*(bytes per sample)"), not be
+    # silently replaced with the default, as the reference CLI's isSet()
+    # handling does (EncodeParams.cpp:166-170)
+    bit_depth = 8 * args.bytes if args.bitDepth is None else args.bitDepth
+    luma_depth = bit_depth if args.lumaDepth is None else args.lumaDepth
+    chroma_depth = luma_depth if args.chromaDepth is None else args.chromaDepth
     args.scalar = 1 if args.scalar is None else args.scalar
     args.prefix = 0 if args.prefix is None else args.prefix
     args.fragmentLength = args.fragmentLength or 0
@@ -131,8 +136,13 @@ def config_from_args(args) -> EncoderConfig:
 
 
 def _psnr(orig: np.ndarray, dec: np.ndarray, depth: int, pixels: int) -> float:
-    d = orig.astype(np.int64) - dec.astype(np.int64)
-    ss = int((d * d).sum())
+    # the reference squares per-pixel diffs in 32-bit int
+    # (std::multiplies<int>, EncodeStream.cpp:710-713 — wraps for
+    # |diff| > 46340) and accumulates in long long; match both exactly
+    d = (orig.astype(np.int64) - dec.astype(np.int64)).astype(np.int32)
+    ss = int((d * d).astype(np.int64).sum())
+    if ss < 0:                   # wrapped squares can sum negative; the
+        return float("nan")      # reference's sqrt(negative) prints nan
     rms = math.sqrt(ss / float(pixels)) / (1 << depth)
     return -20.0 * math.log10(rms) if rms > 0 else float("inf")
 

@@ -21,6 +21,47 @@ from vc2tpu.vlc import device_unpack
 from vc2tpu.wavelet import lifting, matrices
 
 
+def _make_fmt(bitdepth: int, pack10: bool):
+    """Output-sample formatter shared by every device decode tail: clip to
+    signal range, offset binary, then the wire form (uint8 / MSB-justified
+    big-endian uint16 / pack10 staging as flat uint32)."""
+    zero = 1 << (bitdepth - 1)
+
+    def fmt(p):
+        v = jnp.clip(p, -zero, zero - 1) + zero
+        if pack10:
+            return v.astype(jnp.uint32).ravel()
+        if bitdepth == 8:
+            return v.astype(jnp.uint8).ravel()
+        v = (v << (16 - bitdepth)).astype(jnp.uint16)
+        return ((v << 8) | (v >> 8)).ravel()      # to big-endian
+
+    return fmt
+
+
+def _pack10_words(out):
+    """Pack 3x10-bit samples per uint32 word (the packed D2H wire form)."""
+    pad = (-out.shape[0]) % 3
+    if pad:
+        out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
+    t = out.reshape(-1, 3)
+    return (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
+
+
+def _finish(out, out_geometry: PictureGeometry, pack10: bool):
+    """(device words, post): start the async D2H copy and pick the host
+    expansion matching the device wire form."""
+    try:
+        out.copy_to_host_async()
+    except Exception:
+        pass
+    if pack10:
+        ns = (out_geometry.luma_height * out_geometry.luma_width
+              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
+        return out, functools.partial(_unpack10, n_samples=ns)
+    return out, (lambda a: a.tobytes())
+
+
 def _lanes_words_tail(kernel: WaveletKernel, depth: int, geo_key, out_key,
                       bitdepth: int, pack10: bool):
     """Shared fused decode tail builder: (qy, qu, qv lanes, q_idx, qm_bands)
@@ -30,17 +71,7 @@ def _lanes_words_tail(kernel: WaveletKernel, depth: int, geo_key, out_key,
     src/Library/src/Arrays.cpp:381-426)."""
     (ys, xs, lsh, lsw, csh, csw) = geo_key
     (out_lh, out_lw, out_ch, out_cw) = out_key
-    word = 1 if bitdepth == 8 else 2
-    zero = 1 << (bitdepth - 1)
-
-    def fmt(p):
-        v = jnp.clip(p, -zero, zero - 1) + zero
-        if pack10:
-            return v.astype(jnp.uint32).ravel()
-        if word == 1:
-            return v.astype(jnp.uint8).ravel()
-        v = (v << (16 - bitdepth)).astype(jnp.uint16)
-        return ((v << 8) | (v >> 8)).ravel()      # to big-endian
+    fmt = _make_fmt(bitdepth, pack10)
 
     bands_y = tuple(int(c) for c in
                     np.bincount(layout.lane_order(lsh, lsw, depth)[1]))
@@ -60,13 +91,7 @@ def _lanes_words_tail(kernel: WaveletKernel, depth: int, geo_key, out_key,
         c1 = lifting.inverse_bands(bu, kernel, depth)[:out_ch, :out_cw]
         c2 = lifting.inverse_bands(bv, kernel, depth)[:out_ch, :out_cw]
         out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
-        if pack10:
-            pad = (-out.shape[0]) % 3
-            if pad:
-                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
-            t = out.reshape(-1, 3)
-            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
-        return out
+        return _pack10_words(out) if pack10 else out
 
     return tail
 
@@ -172,17 +197,7 @@ def synthesise_payload_to_words(payload: np.ndarray, q_indices, cbytes,
     padded[:len(payload)] = payload
     out = fn(jnp.asarray(padded), jnp.asarray(cbytes, jnp.int32),
              jnp.int32(start), jnp.asarray(q_indices, jnp.int32), qm_bands)
-    try:
-        out.copy_to_host_async()
-    except Exception:
-        pass
-    if pack10:
-        ns = (out_geometry.luma_height * out_geometry.luma_width
-              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
-        post = functools.partial(_unpack10, n_samples=ns)
-    else:
-        post = lambda a: a.tobytes()
-    return out, post
+    return _finish(out, out_geometry, pack10)
 
 
 def _bucket_bytes(n: int) -> int:
@@ -201,17 +216,7 @@ def _idwt_bytes_fn(kernel: WaveletKernel, depth: int, out_key, bitdepth: int,
     planes (the LD decode tail — dequantisation with DC prediction runs on
     the host, reference DecodeStream.cpp:404-450)."""
     (out_lh, out_lw, out_ch, out_cw) = out_key
-    word = 1 if bitdepth == 8 else 2
-    zero = 1 << (bitdepth - 1)
-
-    def fmt(p):
-        v = jnp.clip(p, -zero, zero - 1) + zero
-        if pack10:
-            return v.astype(jnp.uint32).ravel()
-        if word == 1:
-            return v.astype(jnp.uint8).ravel()
-        v = (v << (16 - bitdepth)).astype(jnp.uint16)
-        return ((v << 8) | (v >> 8)).ravel()
+    fmt = _make_fmt(bitdepth, pack10)
 
     def inv(t, lh, lw):
         bands = lifting.inplace_to_bands(t.astype(jnp.int32), depth)
@@ -221,13 +226,7 @@ def _idwt_bytes_fn(kernel: WaveletKernel, depth: int, out_key, bitdepth: int,
         out = jnp.concatenate([fmt(inv(ty, out_lh, out_lw)),
                                fmt(inv(tu, out_ch, out_cw)),
                                fmt(inv(tv, out_ch, out_cw))])
-        if pack10:
-            pad = (-out.shape[0]) % 3
-            if pad:
-                out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
-            t = out.reshape(-1, 3)
-            out = (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
-        return out
+        return _pack10_words(out) if pack10 else out
 
     return jax.jit(fn)
 
@@ -245,22 +244,16 @@ def synthesise_transform_to_words(transform, kernel: WaveletKernel,
 
     def put(p):
         p = np.asarray(p)
-        if int(np.abs(p).max(initial=0)) <= 32767:
+        # range check, not abs().max(): np.abs(INT32_MIN) wraps negative
+        # (reachable via int32-wrapping dequant of corrupt streams) and
+        # would pass an abs test, silently truncating to int16
+        if (p.size == 0
+                or (int(p.min()) >= -32767 and int(p.max()) <= 32767)):
             return jnp.asarray(p.astype(np.int16))
         return jnp.asarray(p, jnp.int32)
 
     out = fn(put(transform.y), put(transform.c1), put(transform.c2))
-    try:
-        out.copy_to_host_async()
-    except Exception:
-        pass
-    if pack10:
-        ns = (out_geometry.luma_height * out_geometry.luma_width
-              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
-        post = functools.partial(_unpack10, n_samples=ns)
-    else:
-        post = lambda a: a.tobytes()
-    return out, post
+    return _finish(out, out_geometry, pack10)
 
 
 def _bucket(n: int) -> int:
@@ -323,17 +316,7 @@ def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
     else:
         out = fn(jnp.asarray(combined), jnp.asarray(q_indices, jnp.int32),
                  qm_bands)
-    try:
-        out.copy_to_host_async()
-    except Exception:
-        pass
-    if pack10:
-        n = (out_geometry.luma_height * out_geometry.luma_width
-             + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
-        post = functools.partial(_unpack10, n_samples=n)
-    else:
-        post = lambda a: a.tobytes()
-    return out, post
+    return _finish(out, out_geometry, pack10)
 
 
 @functools.lru_cache(maxsize=32)

@@ -131,10 +131,6 @@ class Encoder:
 
     # ---- device side ----
 
-    def _to_lanes(self, plane, chroma: bool):
-        return layout.plane_to_lanes(plane, self.geo.y_slices,
-                                     self.geo.x_slices, self.cfg.wavelet_depth)
-
     def _analyse_impl(self, y, c1, c2, budgets, keep_planes: bool = False,
                       packed10: bool = False):
         cfg = self.cfg
@@ -285,6 +281,11 @@ class Encoder:
                 "quantization index exceeds maximum implemented value.")
         if flags & device_pack.FLAG_CBR_FIT:
             raise ValueError("SliceIO, HQ CBR mode: Too many bytes for the slice")
+        if flags & device_pack.FLAG_VLEN:
+            raise ValueError(
+                "Slice component length exceeds 1 byte when divided by "
+                "slice size scalar. See above for suggestions to prevent "
+                "this.")
         if flags & device_pack.FLAG_SCALAR:
             raise ValueError(
                 "Slice scalar is too small, consider using a larger slice "

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vc2tpu.core.config import WaveletKernel
+from vc2tpu.wavelet import lifting
 from vc2tpu.wavelet.lifting import _STEPS, _apply_steps, _interleave, _split
 from vc2tpu.wavelet.matrices import TRANSFORM_SHIFT
 
@@ -124,14 +125,17 @@ def _level_sharded(v, kernel: WaveletKernel, axis_name: str, invert: bool):
 
 
 def _forward_local(x, kernel: WaveletKernel, depth: int, axis_name: str):
+    # _get_sub/_set_sub, not x.at[::s, ::s].set: the strided sub-lattice
+    # scatter costs ~50x the lifting arithmetic on TPU (CLAUDE.md trap);
+    # the recursive stride-2 split + stack-interleave form fuses
     for level in range(depth):
         s = 1 << level
         if s == 1:
             x = _level_sharded(x, kernel, axis_name, invert=False)
         else:
-            v = x[..., ::s, ::s]
-            v = _level_sharded(v, kernel, axis_name, invert=False)
-            x = x.at[..., ::s, ::s].set(v)
+            v = _level_sharded(lifting._get_sub(x, s), kernel, axis_name,
+                               invert=False)
+            x = lifting._set_sub(x, v, s)
     return x
 
 
@@ -141,9 +145,9 @@ def _inverse_local(x, kernel: WaveletKernel, depth: int, axis_name: str):
         if s == 1:
             x = _level_sharded(x, kernel, axis_name, invert=True)
         else:
-            v = x[..., ::s, ::s]
-            v = _level_sharded(v, kernel, axis_name, invert=True)
-            x = x.at[..., ::s, ::s].set(v)
+            v = _level_sharded(lifting._get_sub(x, s), kernel, axis_name,
+                               invert=True)
+            x = lifting._set_sub(x, v, s)
     return x
 
 

@@ -84,8 +84,9 @@ def encode_hq_slices(q_indices: np.ndarray, lanes_y: np.ndarray,
             raise ValueError("SliceIO, HQ CBR mode: Too many bytes for the slice")
         if (vb // scalar > 255).any():
             raise ValueError(
-                "Slice component length exceeds 1 byte when divided by slice "
-                "size scalar.")
+                "Slice component length exceeds 1 byte when divided by "
+                "slice size scalar. See above for suggestions to prevent "
+                "this.")
     totals = prefix + 4 + yb + ub + vb
     starts = np.concatenate([[0], np.cumsum(totals)])
     total_bytes = int(starts[-1])

@@ -38,6 +38,8 @@ FLAG_SCALAR = 2          # component length byte > 255 ("scalar too small")
 FLAG_CBR_FIT = 4         # CBR: y+u data exceeds the slice budget
 FLAG_QINDEX = 8          # qIndex exceeds 8 bits
 FLAG_W32 = 16            # a slice outgrew the w32 local row (host retries)
+FLAG_VLEN = 32           # CBR: forced v length byte > 255 (distinct
+                         # reference error, Slices.cpp:365)
 
 
 def _spread16(x):
@@ -169,7 +171,7 @@ def pack_hq_core(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
         flags = flags | jnp.where(jnp.any(vb < need),
                                   jnp.uint32(FLAG_CBR_FIT), jnp.uint32(0))
         flags = flags | jnp.where(jnp.any(vb // scalar > 255),
-                                  jnp.uint32(FLAG_SCALAR), jnp.uint32(0))
+                                  jnp.uint32(FLAG_VLEN), jnp.uint32(0))
     else:
         vb = comp_scaled[2] * scalar
         flags = flags | jnp.where(jnp.any(comp_scaled[2] > 255),
