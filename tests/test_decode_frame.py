@@ -36,3 +36,15 @@ def test_decode_frame_truncated_input_errors(tmp_path):
     out = tmp_path / "out.16p2"
     rc = decode_frame.main(ARGS + [str(src), str(out)])
     assert rc == 1
+
+
+def test_decode_frame_ld_requires_compressed_bytes(tmp_path):
+    """LD mode with the default/zero -s used to loop forever on zero-size
+    slices (end == start); it must error out instead."""
+    src = tmp_path / "in.raw"
+    src.write_bytes(b"\x00" * 256)
+    out = tmp_path / "out.16p2"
+    ld_args = ["-m", "LD", "-x", "64", "-y", "32", "-f", "4:2:2", "-l", "10",
+               "-n", "2", "-k", "LeGall", "-d", "2", "-u", "1", "-a", "2"]
+    rc = decode_frame.main(ld_args + [str(src), str(out)])
+    assert rc == 1

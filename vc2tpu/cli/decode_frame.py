@@ -28,11 +28,10 @@ import numpy as np
 
 from vc2tpu.core.config import (ColourFormat, DecOutput, PictureGeometry,
                                 WaveletKernel, chroma_dims)
-from vc2tpu.core.picture import Picture, interleave_fields, clip
+from vc2tpu.core.picture import Picture, interleave_fields, signal_clip
 from vc2tpu.core.planario import SampleFormat, write_picture
 from vc2tpu.pipeline.decoder import synthesise_lanes
 from vc2tpu.pipeline.encoder import SliceGeometry
-from vc2tpu.pipeline import ld as ld_pipeline
 from vc2tpu.slices import layout
 from vc2tpu.slices.hq import decode_hq_slices
 from vc2tpu.slices.ld import decode_ld_slices
@@ -80,8 +79,12 @@ def _synthesise(ly, lu, lv, q_idx, qmatrix, kernel, depth, geo, out_geom,
     from vc2tpu.pipeline import host_synth
 
     lanes3 = [np.asarray(a) for a in (ly, lu, lv)]
+    # range check, not abs().max(): np.abs(INT32_MIN) wraps negative and
+    # would pass, silently truncating the int16 cast below
     if (host_synth.available()
-            and all(np.abs(a).max(initial=0) <= 32767 for a in lanes3)):
+            and all(a.size == 0 or (int(a.min()) >= -32767
+                                    and int(a.max()) <= 32767)
+                    for a in lanes3)):
         qm = np.ascontiguousarray(qmatrix, np.int32)
         q_idx = np.ascontiguousarray(q_idx, np.int32)
         planes = []
@@ -133,6 +136,9 @@ def run(args) -> int:
                      else args.compressedBytes)
     ld_sizes = (layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
                 if not hq else None)
+    if not hq and int(ld_sizes.sum()) <= 0:
+        # zero-size LD slices would decode end == start and loop forever
+        raise ValueError("compressed bytes must be >0 in LD mode")
 
     data = (sys.stdin.buffer.read() if args.inFile == "-"
             else open(args.inFile, "rb").read())
@@ -142,8 +148,6 @@ def run(args) -> int:
     sig_fmt = SampleFormat(word_width=4, signed=True, offset=False)
     out_geom = PictureGeometry.of(pic_h, args.width, chroma_format)
     frame_pics = 2 if interlaced else 1
-    qm_block_y = ld_pipeline._qm_block(*geo.luma_slice, depth, qmatrix)
-    qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice, depth, qmatrix)
 
     pos = 0
     frame = 0
@@ -205,11 +209,7 @@ def run(args) -> int:
             else:
                 out_frame = fields[0]
             fields = []
-            out_frame = clip(out_frame,
-                             -(1 << (luma_depth - 1)),
-                             (1 << (luma_depth - 1)) - 1,
-                             -(1 << (chroma_depth - 1)),
-                             (1 << (chroma_depth - 1)) - 1)
+            out_frame = signal_clip(out_frame, luma_depth, chroma_depth)
             luma_fmt = SampleFormat(word_width=args.bytes,
                                     bit_depth=luma_depth, offset=True)
             chroma_fmt = SampleFormat(word_width=args.bytes,
@@ -223,6 +223,8 @@ def main(argv=None) -> int:
     try:
         rc = run(args)
     except Exception as exc:
+        # stdout, as the reference's catch-all does (DecodeFrame.cpp:352
+        # prints to cout) — error-case output stays byte-comparable
         print(f"Error: {exc}")
         return 1
     if args.outFile != "-":

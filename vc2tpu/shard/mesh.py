@@ -19,7 +19,7 @@ def make_mesh(data: int = 1, space: int | None = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if space is None:
         space = len(devices) // data
-    if data * space > len(devices):
+    if space < 1 or data * space > len(devices):
         raise ValueError(f"mesh {data}x{space} needs more than "
                          f"{len(devices)} devices")
     devices = devices[: data * space]

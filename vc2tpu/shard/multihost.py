@@ -85,18 +85,9 @@ class MultiHostEncoder:
         from jax.experimental import multihost_utils
 
         enc = self.enc
-        geo = enc.geo
-        y = np.stack([enc._pad(np.asarray(p.y, np.int32), geo.padded_luma)
-                      for p in pictures])
-        c1 = np.stack([enc._pad(np.asarray(p.c1, np.int32), geo.padded_chroma)
-                       for p in pictures])
-        c2 = np.stack([enc._pad(np.asarray(p.c2, np.int32), geo.padded_chroma)
-                       for p in pictures])
-        if enc.slice_budgets is not None:
-            budgets = enc.slice_budgets.ravel().astype(np.int32)
-        else:
-            budgets = np.zeros(geo.n_slices, np.int32)
-        bud = np.tile(budgets[None, :], (len(pictures), 1))
+        # same pad/stack/budget prep as the single-host step — one copy
+        # (pipeline/sharded.ShardedEncoder._prep), so the paths cannot drift
+        y, c1, c2, bud = enc._prep(pictures)
         gy = multihost_utils.host_local_array_to_global_array(
             y, self.mesh, P("data", "space", None))
         gc1 = multihost_utils.host_local_array_to_global_array(

@@ -159,11 +159,18 @@ class BitReader:
 
     def get_bytes_value(self, n: int) -> int:
         self.align()
+        end = self._pos + n
+        if end > len(self._data):
+            # the reference reads fixed fields with `value |= stream.get()`
+            # (VLC.cpp operator>>(istream, Bytes&)); get() returns -1 at
+            # EOF, which sets EVERY bit of the accumulator — a field read
+            # past the end is all-ones, not zero-padded
+            self._pos = end
+            return (1 << (8 * n)) - 1
         value = 0
-        for _ in range(n):
-            b = self._data[self._pos] if self._pos < len(self._data) else 0
-            self._pos += 1
+        for b in self._data[self._pos:end]:
             value = (value << 8) | b
+        self._pos = end
         return value
 
     def get_raw(self, n: int) -> bytes:

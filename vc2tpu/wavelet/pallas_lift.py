@@ -210,8 +210,11 @@ def supported(h: int, w: int, kernel: WaveletKernel) -> bool:
 
 
 def lift_level(x, kernel: WaveletKernel, invert: bool = False):
-    """Pallas one-level 2-D lift over the final two axes (no batch axes)."""
+    """Pallas one-level 2-D lift over the final two axes (no batch axes).
+    Callers should gate on :func:`supported`; raises cleanly otherwise."""
     h, w = x.shape
-    bh = _pick_bh(h, w)
-    fn = _build(kernel, invert, h, w, bh)
+    if not supported(h, w, kernel):
+        raise ValueError(f"pallas lift: unsupported shape {h}x{w} for "
+                         f"{kernel.name} (see pallas_lift.supported)")
+    fn = _build(kernel, invert, h, w, _pick_bh(h, w))
     return fn(x, x, x)
