@@ -22,16 +22,24 @@ def convert(data: bytes, bits: int) -> bytes:
     return (v << (16 - bits)).astype(">u2").tobytes()
 
 
+CHUNK = 16 << 20          # per-sample transform: any even chunk size works
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="yuv to 16p2 converter")
     p.add_argument("infilename", metavar="file")
     p.add_argument("--bits", type=int, default=10,
                    help="active bits (default 10)")
     args = p.parse_args(argv)
-    with open(args.infilename, "rb") as fi:
-        data = fi.read()
-    with open(args.infilename + ".16p2", "wb") as fo:
-        fo.write(convert(data, args.bits))
+    # convert in bounded chunks: real sequences are tens of GB and the
+    # transform is per-sample (the reference tool streams word-by-word)
+    with open(args.infilename, "rb") as fi, \
+            open(args.infilename + ".16p2", "wb") as fo:
+        while True:
+            data = fi.read(CHUNK)
+            if not data:
+                break
+            fo.write(convert(data, args.bits))
     return 0
 
 

@@ -19,6 +19,16 @@ _SRC = os.path.join(_HERE, "vc2host.cpp")
 _SO = os.path.join(_HERE, "libvc2host.so")
 
 
+def _payload_u8(payload) -> np.ndarray:
+    """Byte payloads must already BE bytes: the C entry points take a
+    length in BYTES (= .size) and ascontiguousarray would silently
+    value-cast a wider dtype (wrapping mod 256) into garbled decodes."""
+    a = np.asarray(payload)
+    if a.dtype != np.uint8:
+        raise TypeError(f"payload must be uint8, got {a.dtype}")
+    return np.ascontiguousarray(a)
+
+
 class _Native:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
@@ -123,7 +133,7 @@ class _Native:
 
     def unpack_streams(self, payload, buflen, starts, bounds, S, n_lanes, out):
         self._lib.unpack_streams(
-            np.ascontiguousarray(payload, np.uint8), int(buflen),
+            _payload_u8(payload), int(buflen),
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(bounds, np.int64),
             int(S), int(n_lanes), out)
@@ -133,7 +143,7 @@ class _Native:
         if widths is None:
             widths = np.empty(int(S), np.uint8)
         return self._lib.unpack_streams_i16(
-            np.ascontiguousarray(payload, np.uint8), int(buflen),
+            _payload_u8(payload), int(buflen),
             np.ascontiguousarray(starts, np.int64),
             np.ascontiguousarray(bounds, np.int64),
             int(S), int(n_lanes), out, widths)
@@ -154,7 +164,7 @@ class _Native:
     def scan_hq_offsets(self, payload, n, prefix, scalar, start, q, dstart,
                         cbytes):
         return self._lib.scan_hq_offsets(
-            np.ascontiguousarray(payload, np.uint8), payload.size,
+            _payload_u8(payload), payload.size,
             int(n), int(prefix), int(scalar), int(start), q, dstart, cbytes)
 
     def encode_lanes(self, lanes, codes, nbits):
@@ -182,7 +192,7 @@ class _Native:
                           csliceH, csliceW, q_out, ty, tu, tv,
                           llqy, llqu, llqv):
         self._lib.ld_unpack_dequant(
-            np.ascontiguousarray(payload, np.uint8), payload.size,
+            _payload_u8(payload), payload.size,
             int(start_byte), np.ascontiguousarray(slice_bytes, np.int32),
             int(ys), int(xs), int(ts),
             int(W), qm_lane_y, off_plane_y, off_ll_y, int(Ly),
@@ -248,7 +258,7 @@ class _Native:
     def unpack_dequant_plane(self, payload, starts_bits, bounds_bits, L,
                              q_idx, qm_lane, off_plane, xs, sh, sw, plane):
         self._lib.unpack_dequant_plane(
-            np.ascontiguousarray(payload, np.uint8), payload.size,
+            _payload_u8(payload), payload.size,
             np.ascontiguousarray(starts_bits, np.int64),
             np.ascontiguousarray(bounds_bits, np.int64),
             starts_bits.size, int(L),
@@ -274,8 +284,12 @@ def _build() -> str | None:
         return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # compile to a per-process temp name and rename into place: concurrent
+    # first-use builds (parallel pytest workers, CLI + test together) must
+    # never dlopen a partially written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     base = ["-O3", "-fwrapv", "-shared", "-fPIC", "-std=c++14", _SRC,
-            "-o", _SO]
+            "-o", tmp]
     for cxx in (os.environ.get("CXX"), "g++", "c++", "clang++"):
         if not cxx:
             continue
@@ -283,6 +297,7 @@ def _build() -> str | None:
             try:
                 subprocess.run([cxx] + extra + base, check=True,
                                capture_output=True)
+                os.replace(tmp, _SO)
                 return _SO
             except (OSError, subprocess.CalledProcessError):
                 continue

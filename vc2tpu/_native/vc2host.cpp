@@ -51,7 +51,11 @@ EXPORT void pack_codes(const uint64_t* codes, const uint32_t* nbits,
       nb -= drop;
       end = total_bits;
     }
-    uint64_t code = codes[i] >> (static_cast<int64_t>(nbits[i]) - nb);
+    // putBits writes only the low nbits of a value (VLC.cpp:259-281):
+    // mask first so a too-wide value cannot bleed into the preceding
+    // field's bytes (same contract as bitpack.pack_codes' NumPy twin)
+    uint64_t full = nbits[i] >= 64 ? ~0ull : ((1ull << nbits[i]) - 1);
+    uint64_t code = (codes[i] & full) >> (static_cast<int64_t>(nbits[i]) - nb);
     int64_t w0 = o >> 6;
     int64_t avail = 64 - (o & 63);
     if (nb <= avail) {
@@ -107,6 +111,26 @@ static inline uint64_t peek64(const uint8_t* buf, int64_t buflen,
 // gives the code length directly and the data bits (odd offsets) extract
 // with PEXT / a short shift loop. One window decodes one whole code
 // (magnitude <= 2^30 spans <= 64 bits) instead of one bit per call.
+
+// Magnitude of one interleaved exp-Golomb code from a 64-bit MSB-first
+// window whose first bit is the code's first follow/data pair: j data bits
+// sit at the even positions; the implicit leading 1 makes
+// mag = ((1 << j) | data) - 1. The ONE copy of this bit-exactness-critical
+// extraction (every decode route calls it).
+static inline uint32_t golomb_mag(uint64_t w, int j) {
+  if (j <= 0) return 0;
+#if defined(__BMI2__)
+  const uint32_t data =
+      static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
+  return ((1u << j) | (data >> (32 - j))) - 1u;
+#else
+  uint32_t data = 0;
+  for (int t = 0; t < j; ++t)
+    data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
+  return ((1u << j) | data) - 1u;
+#endif
+}
+
 EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
                            const int64_t* start, const int64_t* bound,
                            int64_t S, int64_t n_lanes, int32_t* out) {
@@ -145,19 +169,7 @@ EXPORT void unpack_streams(const uint8_t* buf, int64_t buflen,
       }
       const int j = __builtin_clzll(follow) >> 1;  // zero follow bits
       int consumed = 2 * j + 1;
-      uint32_t mag = 0;
-      if (j > 0) {
-#if defined(__BMI2__)
-        const uint32_t data =
-            static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
-        mag = ((1u << j) | (data >> (32 - j))) - 1u;
-#else
-        uint32_t data = 0;
-        for (int t = 0; t < j; ++t)
-          data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
-        mag = ((1u << j) | data) - 1u;
-#endif
-      }
+      const uint32_t mag = golomb_mag(w, j);
       int32_t v = static_cast<int32_t>(mag);
       if (v != 0) {
         if (w >> (63 - consumed) & 1) v = -v;  // sign bit at offset 2j+1
@@ -194,19 +206,7 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
       if (follow == 0) { overflow = 1; row[lane++] = 0; pos = lim; return; }
       const int j = __builtin_clzll(follow) >> 1;
       int consumed = 2 * j + 1;
-      uint32_t mag = 0;
-      if (j > 0) {
-#if defined(__BMI2__)
-        const uint32_t data =
-            static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
-        mag = ((1u << j) | (data >> (32 - j))) - 1u;
-#else
-        uint32_t data = 0;
-        for (int t = 0; t < j; ++t)
-          data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
-        mag = ((1u << j) | data) - 1u;
-#endif
-      }
+      const uint32_t mag = golomb_mag(w, j);
       if (mag > 32767u) overflow = 1;
       if (mag > maxabs) maxabs = mag;
       int32_t v = static_cast<int32_t>(mag);
@@ -261,20 +261,7 @@ EXPORT int unpack_streams_i16(const uint8_t* buf, int64_t buflen,
             break;
           }
           int consumed = 2 * j + 1;
-          uint32_t mag = 0;
-          if (j > 0) {
-#if defined(__BMI2__)
-            const uint32_t data =
-                static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
-            mag = ((1u << j) | (data >> (32 - j))) - 1u;
-#else
-            uint32_t data = 0;
-            for (int t = 0; t < j; ++t)
-              data = (data << 1) |
-                     static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
-            mag = ((1u << j) | data) - 1u;
-#endif
-          }
+          const uint32_t mag = golomb_mag(w, j);
           if (mag > 32767u) overflow = 1;
           if (mag > maxabs) maxabs = mag;
           int32_t v = static_cast<int32_t>(mag);
@@ -1649,19 +1636,7 @@ struct UDPStream {
     }
     const int j = __builtin_clzll(follow) >> 1;
     int consumed = 2 * j + 1;
-    uint32_t mag = 0;
-    if (j > 0) {
-#if defined(__BMI2__)
-      const uint32_t data =
-          static_cast<uint32_t>(_pext_u64(win, 0x5555555555555555ull));
-      mag = ((1u << j) | (data >> (32 - j))) - 1u;
-#else
-      uint32_t data = 0;
-      for (int t = 0; t < j; ++t)
-        data = (data << 1) | static_cast<uint32_t>((win >> (62 - 2 * t)) & 1);
-      mag = ((1u << j) | data) - 1u;
-#endif
-    }
+    const uint32_t mag = golomb_mag(win, j);
     int32_t v = static_cast<int32_t>(mag);
     if (v != 0) {
       if (win >> (63 - consumed) & 1) v = -v;
@@ -1721,19 +1696,7 @@ struct UDPStream {
       return false;                 // window out of sync: re-enter via slow
     }
     int consumed = 2 * j + 1;
-    uint32_t mag = 0;
-    if (j > 0) {
-#if defined(__BMI2__)
-      const uint32_t data =
-          static_cast<uint32_t>(_pext_u64(w, 0x5555555555555555ull));
-      mag = ((1u << j) | (data >> (32 - j))) - 1u;
-#else
-      uint32_t data = 0;
-      for (int t = 0; t < j; ++t)
-        data = (data << 1) | static_cast<uint32_t>((w >> (62 - 2 * t)) & 1);
-      mag = ((1u << j) | data) - 1u;
-#endif
-    }
+    const uint32_t mag = golomb_mag(w, j);
     int32_t v = static_cast<int32_t>(mag);
     if (v != 0) {
       if (w >> (63 - consumed) & 1) v = -v;

@@ -61,6 +61,17 @@ def inverse_lane_order(slice_h: int, slice_w: int, depth: int) -> np.ndarray:
     return inv
 
 
+def _transpose_0213(x, n_lead: int):
+    """Swap the middle two of the four trailing axes, keeping ``n_lead``
+    batch axes; dispatches on the ONE predicate both callers share."""
+    axes = tuple(range(n_lead)) + tuple(n_lead + a for a in (0, 2, 1, 3))
+    if isinstance(x, np.ndarray):
+        return np.transpose(x, axes)
+    import jax.numpy as jnp
+
+    return jnp.transpose(x, axes)
+
+
 def plane_to_slices(plane, y_slices: int, x_slices: int):
     """(H, W) -> (nSlices, sliceH*sliceW) flat row-major slice blocks.
     Works for numpy and jnp arrays; leading batch axes allowed."""
@@ -68,15 +79,7 @@ def plane_to_slices(plane, y_slices: int, x_slices: int):
     sh, sw = h // y_slices, w // x_slices
     lead = plane.shape[:-2]
     x = plane.reshape(lead + (y_slices, sh, x_slices, sw))
-    if hasattr(x, "transpose") and not isinstance(x, np.ndarray):
-        import jax.numpy as jnp
-
-        axes = tuple(range(len(lead))) + tuple(
-            len(lead) + a for a in (0, 2, 1, 3))
-        x = jnp.transpose(x, axes)
-    else:
-        axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
-        x = np.transpose(x, axes)
+    x = _transpose_0213(x, len(lead))
     return x.reshape(lead + (y_slices * x_slices, sh * sw))
 
 
@@ -84,14 +87,7 @@ def slices_to_plane(blocks, y_slices: int, x_slices: int, slice_h: int, slice_w:
     """Inverse of plane_to_slices."""
     lead = blocks.shape[:-2]
     x = blocks.reshape(lead + (y_slices, x_slices, slice_h, slice_w))
-    if isinstance(x, np.ndarray):
-        axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
-        x = np.transpose(x, axes)
-    else:
-        import jax.numpy as jnp
-
-        axes = tuple(range(len(lead))) + tuple(len(lead) + a for a in (0, 2, 1, 3))
-        x = jnp.transpose(x, axes)
+    x = _transpose_0213(x, len(lead))
     return x.reshape(lead + (y_slices * slice_h, x_slices * slice_w))
 
 
