@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import sys
 import time
 
@@ -180,6 +181,29 @@ def chain_ms(step, n_lo=8, n_hi=40, reps=3, label=""):
     return dt
 
 
+def _device_watchdog(seconds: int = 300) -> None:
+    """Fail fast instead of hanging: when the axon tunnel is down, the
+    first device probe blocks indefinitely inside a C call (signals are
+    deferred there, so SIGALRM cannot interrupt it — a daemon thread with
+    os._exit can). Turns the hang into a clear non-zero exit the driver
+    can record. Disarmed once jax.devices() returns."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print("bench: device backend unreachable (axon tunnel down?) — "
+                  f"no response after {seconds}s", file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    jax.devices()
+    done.set()
+
+
 def main() -> int:
     from vc2tpu.core.config import (ColourFormat, EncoderConfig, FrameRate,
                                     Mode, Profile, WaveletKernel)
@@ -187,6 +211,7 @@ def main() -> int:
     from vc2tpu.pipeline.encoder import Encoder
     import jax.numpy as jnp
 
+    _device_watchdog()
     tail = {}
     h, w, bits = 1080, 1920, 10
     cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
