@@ -42,6 +42,9 @@ INPUTS = [
     # capacity-bucket/retry logic in every default suite run (the tiny
     # cases fit their first bucket)
     ("midsize422", 256, 128, "4:2:2", 10, 1),
+    # full 16-bit depth: widest legal sample path (the PSNR tap's int32
+    # diff-square wrap also lives here)
+    ("tiny422_16", 48, 32, "4:2:2", 16, 1),
 ]
 
 # (case name, input, extra encoder args)
@@ -96,6 +99,10 @@ CASES = [
                                   "-u", "2", "-a", "2", "-s", "32768"]),
     ("ld_interlaced", "tiny422", ["-m", "LD", "-k", "LeGall", "-d", "2",
                                   "-u", "1", "-a", "2", "-s", "2048", "-i"]),
+    ("constq_16bit", "tiny422_16", ["-m", "HQ_ConstQ", "-k", "LeGall", "-d", "2",
+                                    "-u", "1", "-a", "2", "-q", "24"]),
+    ("cbr_16bit", "tiny422_16", ["-m", "HQ_CBR", "-k", "DD97", "-d", "2",
+                                 "-u", "1", "-a", "2", "-S", "1", "-s", "3072"]),
 ]
 
 # Cases the reference cannot decode because of defects in the reference
@@ -126,6 +133,7 @@ TAP_CASES = [
     ("cbr_legall_d2", "Indices"),
     ("cbr_legall_d2", "PSNR"),
     ("ld_legall_d2", "Quantised"),
+    ("constq_16bit", "PSNR"),       # int32 diff-square wrap domain
 ]
 
 
