@@ -277,6 +277,44 @@ def test_mesh_decode_cli_bit_exact(fragment_length):
     assert sink.getvalue() == ref_sink.getvalue()
 
 
+def test_mesh_decode_ld_bit_exact():
+    """--mesh covers LD pictures too: host predictive dequant, then the
+    halo-exchange IDWT row-band sharded over ``space``, byte-identical to
+    the single-chip decode."""
+    import io
+    import pathlib
+
+    from vc2tpu.cli.decode_stream import Decoder
+
+    golden = pathlib.Path(__file__).resolve().parent / "golden"
+    stream = (golden / "ld_legall_d2.vc2").read_bytes()
+    want = (golden / "ld_legall_d2.dec.16p2").read_bytes()
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink, mesh="1x8")
+    assert dec.run(stream) == 0
+    assert sink.getvalue() == want
+
+
+def test_mesh_decode_ld_indivisible_falls_back(capsys):
+    """LD interlaced fields (16 padded rows, depth 2) cannot split 8 ways
+    in units of 4 — the mesh route must fall back single-chip, log once,
+    and stay bit-exact."""
+    import io
+    import pathlib
+
+    from vc2tpu.cli.decode_stream import Decoder
+
+    golden = pathlib.Path(__file__).resolve().parent / "golden"
+    stream = (golden / "ld_interlaced.vc2").read_bytes()
+    want = (golden / "ld_interlaced.dec.16p2").read_bytes()
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink, mesh="1x8")
+    assert dec.run(stream) == 0
+    assert sink.getvalue() == want
+    err = capsys.readouterr().err
+    assert err.count("decoding single-chip") == 1
+
+
 def test_mesh_decode_incompatible_geometry_falls_back(capsys):
     """A stream whose slice rows do not divide over the mesh still decodes
     bit-exact through the single-chip fallback."""

@@ -336,6 +336,37 @@ class Decoder:
         self._sdec_cache[key] = sdec
         return sdec
 
+    def _ld_mesh_synthesis(self, transform, pre, out_geom):
+        """Row-band sharded LD synthesis: halo-exchange IDWT of the
+        host-dequantised transform planes over the ``space`` axis — the LD
+        analogue of the HQ mesh route (the predictive dequant recurrence
+        stays on the host, as in the single-chip paths). Returns
+        (words, post) or None when the padded plane rows do not divide
+        over the mesh (single-chip fallback, logged once)."""
+        from vc2tpu.shard.halo import sharded_inverse_plane
+
+        mesh = self._mesh_obj
+        n = mesh.shape["space"]
+        ts = 1 << pre.depth
+        planes = (transform.y, transform.c1, transform.c2)
+        for p in planes:
+            rows = p.shape[0]
+            if rows % n or (rows // n) % ts:
+                if not getattr(self, "_mesh_inert_logged", False):
+                    self._mesh_inert_logged = True
+                    print(f"--mesh: LD plane of {rows} rows does not divide "
+                          f"over {n} shards in units of {ts}; decoding "
+                          "single-chip", file=sys.stderr)
+                return None
+        y, c1, c2 = (np.asarray(sharded_inverse_plane(
+            np.asarray(p, np.int32), mesh, pre.wavelet_kernel, pre.depth))
+            for p in planes)
+        return _format_words_host(
+            y[:out_geom.luma_height, :out_geom.luma_width],
+            c1[:out_geom.chroma_height, :out_geom.chroma_width],
+            c2[:out_geom.chroma_height, :out_geom.chroma_width],
+            self.hdr.bitdepth)
+
     # --- picture decode core (shared by whole pictures and fragments) ---
 
     def _decode_picture_payload(self, pre, payload: np.ndarray, hq: bool,
@@ -460,16 +491,14 @@ class Decoder:
             write_picture(self.sink, pic, sig_fmt)
             return
         out_geom = PictureGeometry.of(pic_h, hdr.width, hdr.chroma_format)
-        if self._route == "mesh" and not (hq
-                                          and self.output == DecOutput.DECODED):
+        if self._route == "mesh" and self.output != DecOutput.DECODED:
             # tell the user --mesh is not in effect (mirrors the
             # incompatible-geometry fallback notice in _sharded_decoder)
             if not getattr(self, "_mesh_inert_logged", False):
                 self._mesh_inert_logged = True
-                why = ("LD pictures" if not hq
-                       else f"output mode {self.output.value}")
-                print(f"--mesh: no sharded path for {why}; decoding "
-                      "single-chip", file=sys.stderr)
+                print(f"--mesh: no sharded path for output mode "
+                      f"{self.output.value}; decoding single-chip",
+                      file=sys.stderr)
         if hq and self._route == "mesh" and self.output == DecOutput.DECODED:
             sdec = self._sharded_decoder(pre, geo)
             if sdec is not None:
@@ -573,6 +602,11 @@ class Decoder:
             if self.output == DecOutput.TRANSFORM:
                 write_picture(self.sink, transform, sig_fmt)
                 return
+            if self._route == "mesh" and self.output == DecOutput.DECODED:
+                wp = self._ld_mesh_synthesis(transform, pre, out_geom)
+                if wp is not None:
+                    self._emit_words(*wp)
+                    return
             # fused synthesis tail (IDWT + clip + format), adaptively routed
             if self._route is None and host_synth.available():
                 fetch_bytes = _fetch_bytes_estimate(out_geom, hdr)
