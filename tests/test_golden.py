@@ -128,10 +128,27 @@ def test_encode_mesh_cli_byte_identical(mesh, tmp_path):
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    case, inp, extra = next(c for c in CASES if c[0] == "cbr_legall_d2")
+    for name in ("cbr_legall_d2", "constq_legall_d2"):
+        case, inp, extra = next(c for c in CASES if c[0] == name)
+        src = os.path.join(GOLDEN, f"{inp}.16p2")
+        out = str(tmp_path / f"{name}.vc2")
+        _run_encode(_encode_args(case, inp, extra) + ["--mesh", mesh],
+                    src, out)
+        ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+        assert open(out, "rb").read() == ref, name
+
+
+def test_encode_mesh_ld_byte_identical(tmp_path):
+    """--mesh on an LD encode (row-band sharded analysis DWT, host rate
+    control) must still produce the reference's bytes."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    case, inp, extra = next(c for c in CASES if c[0] == "ld_legall_d2")
     src = os.path.join(GOLDEN, f"{inp}.16p2")
     out = str(tmp_path / "out.vc2")
-    _run_encode(_encode_args(case, inp, extra) + ["--mesh", mesh], src, out)
+    _run_encode(_encode_args(case, inp, extra) + ["--mesh", "1x8"], src, out)
     ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
     assert open(out, "rb").read() == ref
 

@@ -69,8 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", metavar="DxS", default=None,
                    help="encode on a DxS device mesh (frames x row-bands), "
                         "e.g. --mesh 2x4: the full sharded pipeline incl. "
-                        "per-shard entropy pack (HQ modes, Stream output); "
-                        "bytes are identical to the single-chip path")
+                        "per-shard entropy pack for the HQ modes; LD shards "
+                        "the analysis DWT (Stream output only); bytes are "
+                        "identical to the single-chip path")
     return p
 
 
@@ -235,11 +236,14 @@ def run(args) -> int:
     reader = PlanarReader(infile, geometry, luma_fmt, chroma_fmt)
 
     if args.mesh:
-        if cfg.mode == Mode.LD:
-            raise ValueError("--mesh supports the HQ modes only")
         if output != EncOutput.STREAM:
             raise ValueError("--mesh supports Stream output only")
-        encoder = _ShardedAdapter(cfg, args.mesh)
+        if cfg.mode == Mode.LD:
+            # LD: the analysis DWT shards over ``space`` (halo forward);
+            # the rate-control recurrence stays host, as always
+            encoder = ld_pipeline.LDEncoder(cfg, mesh=args.mesh)
+        else:
+            encoder = _ShardedAdapter(cfg, args.mesh)
     elif cfg.mode == Mode.LD:
         encoder = ld_pipeline.LDEncoder(cfg)
     else:

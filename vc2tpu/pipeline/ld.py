@@ -34,12 +34,23 @@ def _qm_block(slice_h: int, slice_w: int, depth: int, qmatrix) -> np.ndarray:
 
 
 class LDEncoder:
-    def __init__(self, cfg: EncoderConfig):
+    def __init__(self, cfg: EncoderConfig, mesh=None):
         if native is None:
             raise RuntimeError("LD mode requires the native host codec "
                                "(build vc2tpu/_native)")
         cfg.validate()
         self.cfg = cfg
+        # --mesh: row-band shard the analysis DWT over the ``space`` axis
+        # (halo-exchange forward, bit-identical to the single-chip
+        # transform); the rate-control recurrence stays on the host, as
+        # every LD route's does. "DxS" string or a ready Mesh.
+        if isinstance(mesh, str):
+            from vc2tpu.shard.mesh import make_mesh
+
+            d, s = (int(v) for v in mesh.lower().split("x"))
+            mesh = make_mesh(data=d, space=s)
+        self._mesh = mesh
+        self._mesh_inert_logged = False
         self.geo = slice_geometry(cfg)
         self.qmatrix = matrices.quant_matrix(cfg.kernel, cfg.wavelet_depth)
         d = cfg.wavelet_depth
@@ -153,10 +164,49 @@ class LDEncoder:
                                   (picture.c1, self.geo.padded_chroma),
                                   (picture.c2, self.geo.padded_chroma)))
 
+    def _transform_mesh(self, picture: Picture):
+        """Row-band sharded analysis DWT (halo-exchange forward), or None
+        when the padded plane rows do not divide over the mesh."""
+        import sys
+
+        from vc2tpu.shard.halo import sharded_forward_plane
+
+        n = self._mesh.shape["space"]
+        ts = 1 << self.cfg.wavelet_depth
+        pads = (self.geo.padded_luma, self.geo.padded_chroma,
+                self.geo.padded_chroma)
+        for (rows, _) in pads:
+            if rows % n or (rows // n) % ts:
+                if not self._mesh_inert_logged:
+                    self._mesh_inert_logged = True
+                    print(f"--mesh: LD plane of {rows} rows does not divide "
+                          f"over {n} shards in units of {ts}; analysing "
+                          "single-chip", file=sys.stderr)
+                return None
+
+        def pad(p, target):
+            ph, pw = target
+            h, w = p.shape
+            if (h, w) == (ph, pw):
+                return np.asarray(p, np.int32)
+            return np.pad(np.asarray(p, np.int32),
+                          ((0, ph - h), (0, pw - w)), mode="edge")
+
+        return tuple(
+            np.ascontiguousarray(np.asarray(sharded_forward_plane(
+                pad(p, t), self._mesh, self.cfg.kernel,
+                self.cfg.wavelet_depth)))
+            for p, t in ((picture.y, pads[0]), (picture.c1, pads[1]),
+                         (picture.c2, pads[2])))
+
     def _transform(self, picture: Picture):
         import os
         import time
 
+        if self._mesh is not None:
+            res = self._transform_mesh(picture)
+            if res is not None:
+                return res
         if self._route is None:
             mode = os.environ.get("VC2TPU_ENCODE_ROUTE", "auto")
             if mode in ("device", "host"):
