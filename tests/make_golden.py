@@ -208,11 +208,18 @@ def main():
             jax.config.update("jax_platforms", "cpu")  # never probe axon
             from vc2tpu.cli.decode_stream import Decoder
 
-            sink = io.BytesIO()
-            d = Decoder(sink=sink, route="host")
-            assert d.run(open(stream, "rb").read()) == 0
+            # pin only what BOTH independent synthesis routes agree on —
+            # a regression in one route cannot silently become the new pin
+            outs = []
+            for route in ("host", "device"):
+                sink = io.BytesIO()
+                d = Decoder(sink=sink, route=route)
+                assert d.run(open(stream, "rb").read()) == 0, (case, route)
+                outs.append(sink.getvalue())
+            assert outs[0] == outs[1], \
+                f"{case}: host and device decode routes disagree; refusing to pin"
             with open(dec_out, "wb") as f:
-                f.write(sink.getvalue())
+                f.write(outs[0])
         else:
             run([dec, stream, dec_out])
     for case, tap in TAP_CASES:

@@ -143,6 +143,7 @@ def test_encode_mesh_ld_byte_identical(tmp_path):
     control) must still produce the reference's bytes."""
     import jax
 
+    _skip_ld_without_native("ld_")
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     case, inp, extra = next(c for c in CASES if c[0] == "ld_legall_d2")

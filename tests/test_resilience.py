@@ -137,6 +137,9 @@ def test_duplicate_fragment_span_does_not_complete_picture():
     # give the second body fragment the FIRST one's slice offset: same
     # reassembly key, so its span lands on top of the first's
     a, b = body_frags[0], body_frags[1]
+    # both must belong to the same picture or the mutation is a no-op
+    # (guards against fixture regeneration with different -F/-s)
+    assert stream[a + 13:a + 17] == stream[b + 13:b + 17]
     stream[b + 21:b + 25] = stream[a + 21:a + 25]
     sink = io.BytesIO()
     dec = Decoder(sink=sink)

@@ -131,6 +131,9 @@ def test_truncated_payload_reads_ones_both_routes(monkeypatch):
     import vc2tpu.vlc.bitpack as bp
     from vc2tpu._native.bridge import native
 
+    if native is None:
+        pytest.skip("needs the native codec (the comparison is vacuous "
+                    "when both sides run the NumPy fallback)")
     w = BitWriter()
     for v in (3, -7, 120, 0, 0, -1, 9):
         w.put_svlc(v)
