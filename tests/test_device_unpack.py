@@ -124,3 +124,72 @@ def test_payload_synthesis_matches_lane_synthesis():
     got_words, got_post = synthesise_payload_to_words(
         pl, q, cbytes, qm, kernel, depth, geo, out_geom, 10, 0)
     assert ref_post(np.asarray(ref_words)) == got_post(np.asarray(got_words))
+
+
+def _device_ld_lanes(payload: np.ndarray, sizes, Ly, Lc, start=0):
+    from vc2tpu.slices.ld import ld_header_fields
+
+    q, s_bits, len_bits, y_bits, uv_bits, _ = ld_header_fields(
+        payload, sizes, start)
+    p4 = (len(payload) + 3) // 4 * 4 + 8
+    pad = np.full(p4, 0xFF, np.uint8)       # at-EOF reads are 1-bits
+    pad[:len(payload)] = payload
+    wc = (du.window_words_bits(int(y_bits.max(initial=0)), Ly),
+          du.window_words_bits(int(uv_bits.max(initial=0)), 2 * Lc))
+    fn = jax.jit(lambda p, s, l, y, u: du.unpack_ld_lanes(
+        p, s, l, y, u, (Ly, Lc), wc))
+    qy, quv = fn(jnp.asarray(pad),
+                 jnp.asarray(s_bits, jnp.int32),
+                 jnp.asarray(len_bits, jnp.int32),
+                 jnp.asarray(y_bits, jnp.int32),
+                 jnp.asarray(uv_bits, jnp.int32))
+    qy, quv = np.asarray(qy), np.asarray(quv)
+    return q, qy, quv[:, 0::2], quv[:, 1::2]
+
+
+@pytest.mark.parametrize("seed,scale", [(0, 8), (1, 200), (2, 2500)])
+def test_ld_unpack_matches_host_codec(seed, scale):
+    """Device LD unpack (bit-granular bounded regions) == the host decode,
+    lane for lane, on real LD payloads."""
+    from vc2tpu.slices.ld import decode_ld_slices, encode_ld_slices
+
+    rng = np.random.default_rng(seed)
+    N, Ly, Lc = 24, 64, 32
+    q = rng.integers(0, 100, N).astype(np.int32)
+    ly = rng.normal(0, scale, (N, Ly)).astype(np.int32)
+    # UV must FIT their remaining region (the reference LD writer throws
+    # otherwise, Slices.cpp:210) — only the luma region truncates
+    lu = rng.normal(0, min(scale / 2, 40), (N, Lc)).astype(np.int32)
+    lv = rng.normal(0, min(scale / 2, 40), (N, Lc)).astype(np.int32)
+    ly[rng.random((N, Ly)) < 0.4] = 0
+    lu[rng.random((N, Lc)) < 0.6] = 0
+    lv[:, Lc // 2:] = 0
+    sizes = np.full(N, 220, np.int64)       # bounded: big luma codes truncate
+    payload, _ = encode_ld_slices(q, ly, lu, lv, sizes)
+    pl = np.frombuffer(payload, np.uint8)
+    want_q, wy, wu, wv, _ = decode_ld_slices(pl, sizes, (Ly, Lc))
+    got_q, gy, gu, gv = _device_ld_lanes(pl, sizes, Ly, Lc)
+    np.testing.assert_array_equal(got_q, want_q)
+    np.testing.assert_array_equal(gy, wy)
+    np.testing.assert_array_equal(gu, wu)
+    np.testing.assert_array_equal(gv, wv)
+
+
+def test_ld_unpack_random_bytes_fuzz():
+    """Pure-noise and truncated payloads decode identically to the host
+    state machine (bounded 1-fill incl. codes straddling the bit bound)."""
+    from vc2tpu.slices.ld import decode_ld_slices
+
+    rng = np.random.default_rng(77)
+    N, Ly, Lc = 16, 24, 12
+    sizes = rng.integers(4, 40, N).astype(np.int64)
+    for trial in range(6):
+        pl = rng.integers(0, 256, int(sizes.sum()), dtype=np.uint8)
+        if trial % 2:
+            pl = pl[:-9]                    # truncated: EOF 1-bit reads
+        want_q, wy, wu, wv, _ = decode_ld_slices(pl, sizes, (Ly, Lc))
+        got_q, gy, gu, gv = _device_ld_lanes(pl, sizes, Ly, Lc)
+        np.testing.assert_array_equal(got_q, want_q)
+        np.testing.assert_array_equal(gy, wy)
+        np.testing.assert_array_equal(gu, wu)
+        np.testing.assert_array_equal(gv, wv)

@@ -100,21 +100,19 @@ def encode_ld_slices(q_indices: np.ndarray, lanes_y: np.ndarray,
     return payload.tobytes(), sizes
 
 
-def decode_ld_slices(payload: np.ndarray, slice_sizes: np.ndarray,
-                     lane_counts: tuple[int, int], start: int = 0):
-    """Decode LD slices. Returns (q_indices, lanes_y, lanes_u, lanes_v,
-    end_offset)."""
+def ld_header_fields(payload: np.ndarray, slice_sizes: np.ndarray,
+                     start: int = 0):
+    """Per-slice LD header scan: (q, s_bits, len_bits, y_bits, uv_bits,
+    end_offset). The 7-bit qIndex and luma-length fields live in the first
+    few bytes of each byte-aligned slice: unpack ONLY those (a full
+    payload bit expansion would be an 8x allocation every picture). The
+    0xFF tail pad gives past-payload reads the reference's at-EOF 1-bits.
+    Shared by the host coefficient unpack and the on-chip (device) one."""
     sizes = slice_sizes.astype(np.int64).ravel()
     n = len(sizes)
-    Ly, Lc = lane_counts
     starts = start + np.concatenate([[0], np.cumsum(sizes)])[:-1]
     s_bits = starts * 8
     len_bits = np.array([intlog2(int(8 * s - 7)) for s in sizes], dtype=np.int64)
-    # header fields (7-bit qIndex + luma-length) live in the first few
-    # bytes of each byte-aligned slice: unpack ONLY those (the full
-    # payload's bit expansion would be an 8x allocation every picture,
-    # even when the native engine handles all coefficient data). The 0xFF
-    # tail pad gives past-payload reads the reference's at-EOF 1-bits.
     k = (7 + int(len_bits.max(initial=0)) + 7) // 8
     buf = np.concatenate([np.asarray(payload, np.uint8),
                           np.full(k, 0xFF, np.uint8)])
@@ -131,9 +129,18 @@ def decode_ld_slices(payload: np.ndarray, slice_sizes: np.ndarray,
 
     q = field(0, np.full(n, 7, dtype=np.int64)).astype(np.int32)
     y_bits = field(7, len_bits)
-    uv_bits = 8 * sizes - 7 - len_bits - y_bits
+    uv_bits = np.maximum(8 * sizes - 7 - len_bits - y_bits, 0)
+    return q, s_bits, len_bits, y_bits, uv_bits, int(starts[-1] + sizes[-1])
+
+
+def decode_ld_slices(payload: np.ndarray, slice_sizes: np.ndarray,
+                     lane_counts: tuple[int, int], start: int = 0):
+    """Decode LD slices. Returns (q_indices, lanes_y, lanes_u, lanes_v,
+    end_offset)."""
+    Ly, Lc = lane_counts
+    q, s_bits, len_bits, y_bits, uv_bits, end = ld_header_fields(
+        payload, slice_sizes, start)
     lanes_y = unpack_signed_streams(payload, s_bits + 7 + len_bits, y_bits, Ly)
     uv = unpack_signed_streams(payload, s_bits + 7 + len_bits + y_bits,
-                               np.maximum(uv_bits, 0), 2 * Lc)
-    return q, lanes_y, uv[:, 0::2].copy(), uv[:, 1::2].copy(), \
-        int(starts[-1] + sizes[-1])
+                               uv_bits, 2 * Lc)
+    return q, lanes_y, uv[:, 0::2].copy(), uv[:, 1::2].copy(), end

@@ -132,6 +132,103 @@ def unpack_component(words, dstart, clen, n_lanes: int, n_words: int):
     return vals.T                                       # (N, n_lanes)
 
 
+_ALL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def window_words_bits(n_bits_max: int, n_lanes: int) -> int:
+    """Window block size (uint32 words) for BIT-granular regions (LD):
+    31 lead-alignment bits + the bounded region + one 1-bit zero code per
+    remaining lane + a straddling code + 64 peek bits."""
+    bits = 31 + n_bits_max + n_lanes + 2 + 64 + 64
+    return (bits + 31) // 32 + 1
+
+
+def unpack_component_bits(words, dstart_bits, blen_bits, n_lanes: int,
+                          n_words: int):
+    """Decode ``n_lanes`` signed codes per stream from BIT-granular bounded
+    regions — the LD slice layout, whose luma/chroma regions start mid-byte
+    (after the 7-bit qIndex + length field) and bound in bits
+    (reference LDSliceIO, Slices.cpp:195-303).
+
+    words: uint32 [P] big-endian-assembled payload words. The caller must
+    pad the payload tail with 0xFF (in-bound reads past the true payload
+    end are 1-bits, the reference's at-EOF rule).
+    dstart_bits: int32 [N] absolute bit offset of each region.
+    blen_bits: int32 [N] region length in bits (bound, >= 0).
+    Returns int32 [N, n_lanes] in code order.
+
+    Unlike the byte-aligned HQ variant (whose bound is enforced by
+    positional 0xFF byte masks), the bound here is applied per scan step:
+    every window bit at or past the bound ORs to 1 before the decode, which
+    reproduces the bounded-read rule including codes that straddle it.
+    """
+    base = dstart_bits >> 5
+    lead = (dstart_bits & 31).astype(jnp.int32)
+    j = jnp.arange(n_words, dtype=jnp.int32)
+    block = words[base[:, None] + j[None, :]]           # (N, W) gather
+    bound = lead + blen_bits.astype(jnp.int32)          # block-relative
+
+    u64 = lambda a: a.astype(jnp.uint64)
+
+    def step(pos, _):
+        widx = pos >> 5
+        sh = u64(pos & 31)
+        w0 = jnp.zeros_like(pos).astype(jnp.uint32)
+        w1 = jnp.zeros_like(w0)
+        w2 = jnp.zeros_like(w0)
+        eq1 = eq2 = None
+        for k in range(n_words):
+            bk = block[:, k]
+            eq = (widx == k).astype(jnp.uint32)
+            w0 = w0 + bk * eq
+            if eq1 is not None:
+                w1 = w1 + bk * eq1
+            if eq2 is not None:
+                w2 = w2 + bk * eq2
+            eq1, eq2 = eq, eq1
+        win = (u64(w0) << (jnp.uint64(32) + sh)) | (u64(w1) << sh)
+        t2 = u64(w2) >> (jnp.uint64(32) - jnp.maximum(sh, jnp.uint64(1)))
+        win = win | jnp.where(sh > 0, t2, jnp.uint64(0))
+        # bounded 1-fill: window bits at or past the bound read as 1
+        ok = u64(jnp.clip(bound - pos, 0, 64))
+        fill = jnp.where(ok >= 64, jnp.uint64(0),
+                         _ALL64 >> jnp.minimum(ok, jnp.uint64(63)))
+        win = win | fill
+        p = lax.clz(win & _FOLLOW).astype(jnp.int32)
+        p = jnp.minimum(p, 62)
+        ndata = u64(p >> 1)
+        pe = jnp.maximum(p, 2)
+        x = win >> u64(64 - pe)
+        mag = ((jnp.uint64(1) << ndata) | _compress_even(x)) - jnp.uint64(1)
+        sign = (win >> u64(62 - p)) & jnp.uint64(1)
+        mag_i = mag.astype(jnp.int64)
+        val = jnp.where(p == 0, 0,
+                        jnp.where(sign > 0, -mag_i, mag_i)).astype(jnp.int32)
+        return pos + jnp.where(p == 0, 1, p + 2), val
+
+    _, vals = lax.scan(step, lead, None, length=n_lanes)
+    return vals.T                                       # (N, n_lanes)
+
+
+def unpack_ld_lanes(payload_u8, s_bits, len_bits, y_bits, uv_bits,
+                    lane_counts: tuple[int, int],
+                    word_counts: tuple[int, int]):
+    """Jit-composable device unpack of an LD picture's slice payload.
+
+    payload_u8: uint8 [P4] (P4 % 4 == 0, 0xFF-padded past the true end).
+    s_bits/len_bits/y_bits/uv_bits: int32 [N] from the host header scan
+    (slices/ld.ld_header_fields). lane_counts: (Ly, Lc).
+    Returns (qy [N, Ly], quv [N, 2*Lc] with u,v interleaved per
+    coefficient, exactly the wire order — Slices.cpp:71-95)."""
+    words = assemble_words(payload_u8)
+    Ly, Lc = lane_counts
+    d_y = (s_bits + 7 + len_bits).astype(jnp.int32)
+    qy = unpack_component_bits(words, d_y, y_bits, Ly, word_counts[0])
+    quv = unpack_component_bits(words, (d_y + y_bits).astype(jnp.int32),
+                                uv_bits, 2 * Lc, word_counts[1])
+    return qy, quv
+
+
 def assemble_words(payload_u8):
     """Big-endian uint32 words from a byte payload (length multiple of 4)."""
     r = payload_u8.reshape(-1, 4).astype(jnp.uint32)
