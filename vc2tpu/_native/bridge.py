@@ -123,6 +123,8 @@ class _Native:
             p32, p32, p32, p32, p32, p32, p32]
         lib.ld_ll_dequantise.argtypes = [p32, i64, i64, i64, i64, i64,
                                          i64, i64, p32, p32, p32, i64]
+        lib.ld_ll_dequantise_grid.argtypes = [p32, i64, i64, i64, i64, i64,
+                                              i64, i64, p32, p32, p32]
 
     def pack_codes(self, codes, nbits, offsets, n, total_bits, out):
         self._lib.pack_codes(
@@ -210,6 +212,17 @@ class _Native:
             int(ts), int(sliceH), int(sliceW),
             np.ascontiguousarray(qm_block, np.int32),
             np.ascontiguousarray(q_idx, np.int32), plane, W)
+
+    def ld_ll_dequantise_grid(self, llq, ys, xs, ts, sliceH, sliceW,
+                              qm_block, q_idx):
+        llh, llw = llq.shape
+        out = np.empty((llh, llw), np.int32)
+        self._lib.ld_ll_dequantise_grid(
+            np.ascontiguousarray(llq, np.int32), llh, llw, int(ys), int(xs),
+            int(ts), int(sliceH), int(sliceW),
+            np.ascontiguousarray(qm_block, np.int32),
+            np.ascontiguousarray(q_idx, np.int32), out)
+        return out
 
     def ld_dequantise_plane(self, qplane, H, W, ys, xs, ts, qm_block, q_idx, out):
         self._lib.ld_dequantise_plane(

@@ -1852,12 +1852,15 @@ EXPORT void ld_unpack_dequant(
 // LL-subband predictive inverse quantise from the compact quantised-LL
 // grid (reference inverse_quantise_LLSubband, Quantisation.cpp:287-306),
 // reconstructed values scattered into the in-place transform plane.
-EXPORT void ld_ll_dequantise(const int32_t* llq, int64_t llh, int64_t llw,
-                             int64_t ySlices, int64_t xSlices, int64_t ts,
-                             int64_t sliceH, int64_t sliceW,
-                             const int32_t* qm_block, const int32_t* q_idx,
-                             int32_t* plane, int64_t W) {
-  int32_t* ll = new int32_t[llh * llw];
+// Compact-grid variant: the dequantised LL values land in out_ll (llh x
+// llw), which doubles as the recurrence state. Used by the device decode
+// route, which ships only this small grid to the chip.
+EXPORT void ld_ll_dequantise_grid(const int32_t* llq, int64_t llh,
+                                  int64_t llw, int64_t ySlices,
+                                  int64_t xSlices, int64_t ts,
+                                  int64_t sliceH, int64_t sliceW,
+                                  const int32_t* qm_block,
+                                  const int32_t* q_idx, int32_t* out_ll) {
   for (int64_t y = 0; y < llh; ++y) {
     for (int64_t x = 0; x < llw; ++x) {
       const int64_t yb = ((y + 1) * ySlices - 1) / llh;
@@ -1865,11 +1868,22 @@ EXPORT void ld_ll_dequantise(const int32_t* llq, int64_t llh, int64_t llw,
       const int64_t yy = y * ts, xx = x * ts;
       const int aq = adjust_q(q_idx[yb * xSlices + xb],
                               qm_block[(yy % sliceH) * sliceW + (xx % sliceW)]);
-      const int pred = predict_dc(ll, llw, y, x);
-      const int32_t r = c_scale(llq[y * llw + x], aq) + pred;
-      ll[y * llw + x] = r;
-      plane[yy * W + xx] = r;
+      const int pred = predict_dc(out_ll, llw, y, x);
+      out_ll[y * llw + x] = c_scale(llq[y * llw + x], aq) + pred;
     }
   }
+}
+
+EXPORT void ld_ll_dequantise(const int32_t* llq, int64_t llh, int64_t llw,
+                             int64_t ySlices, int64_t xSlices, int64_t ts,
+                             int64_t sliceH, int64_t sliceW,
+                             const int32_t* qm_block, const int32_t* q_idx,
+                             int32_t* plane, int64_t W) {
+  int32_t* ll = new int32_t[llh * llw];
+  ld_ll_dequantise_grid(llq, llh, llw, ySlices, xSlices, ts, sliceH, sliceW,
+                        qm_block, q_idx, ll);
+  for (int64_t y = 0; y < llh; ++y)
+    for (int64_t x = 0; x < llw; ++x)
+      plane[y * ts * W + x * ts] = ll[y * llw + x];
   delete[] ll;
 }

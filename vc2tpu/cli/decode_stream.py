@@ -377,6 +377,7 @@ class Decoder:
         self._widths = None
         pic_h, padded_h, padded_w = _geometry(hdr, depth)
         self._ld_transform = None
+        self._ld_dev_words = None
         from vc2tpu.core.config import chroma_dims
 
         pch, pcw = chroma_dims(padded_h, padded_w, hdr.chroma_format)
@@ -452,6 +453,31 @@ class Decoder:
             picture_bytes = (pre.slice_bytes_numerator * ys * xs
                              // pre.slice_bytes_denominator)
             sizes = layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
+            if (self.output == DecOutput.DECODED and self._route == "device"
+                    and self._device_unpack
+                    and ld_pipeline.native is not None):
+                # full on-chip LD decode: the body entropy unpack, dequant,
+                # IDWT and formatting run on device; only the sequential
+                # LL DC-prediction recurrence stays host (small grids)
+                from vc2tpu.pipeline.decoder import \
+                    synthesise_ld_payload_to_words
+
+                qmatrix = matrices.quant_matrix(pre.wavelet_kernel,
+                                                pre.depth)
+                qm_block_y = ld_pipeline._qm_block(*geo.luma_slice,
+                                                   pre.depth, qmatrix)
+                qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice,
+                                                   pre.depth, qmatrix)
+                out_geom = PictureGeometry.of(pic_h, hdr.width,
+                                              hdr.chroma_format)
+                q_idx, wp = synthesise_ld_payload_to_words(
+                    payload, sizes, qmatrix, pre.wavelet_kernel, pre.depth,
+                    geo, out_geom, hdr.bitdepth, qm_block_y, qm_block_c,
+                    start=start, allow_pack=True)
+                if wp is not None:
+                    self._ld_dev_words = wp
+                    return geo, pic_h, q_idx, None, None, None
+                # pathologically skewed sizes: plane route below instead
             if (self.output in (DecOutput.DECODED, DecOutput.TRANSFORM)
                     and self._route not in ("device", "mesh")
                     and ld_pipeline.native is not None):
@@ -581,6 +607,11 @@ class Decoder:
             self._emit_words(words, post)
             return
         else:
+            if getattr(self, "_ld_dev_words", None) is not None:
+                wp = self._ld_dev_words             # full on-chip LD decode
+                self._ld_dev_words = None
+                self._emit_words(*wp)
+                return
             if self._ld_transform is not None:
                 transform = self._ld_transform      # fused native decode
                 self._ld_transform = None

@@ -200,6 +200,123 @@ def synthesise_payload_to_words(payload: np.ndarray, q_indices, cbytes,
     return _finish(out, out_geometry, pack10)
 
 
+@functools.lru_cache(maxsize=16)
+def _ld_payload_synthesis_fn(kernel: WaveletKernel, depth: int, geo_key,
+                             out_key, bitdepth: int, pack10: bool,
+                             word_counts: tuple[int, int]):
+    """Full on-chip LD decode tail: slice payload bytes + the host's
+    dequantised LL grids -> formatted output words. The entropy unpack of
+    the luma and interleaved-chroma regions runs on device
+    (vlc/device_unpack.unpack_ld_lanes); only the LL DC-prediction
+    recurrence — strictly sequential, reference Quantisation.cpp:287-306 —
+    stays host, shipping grids 1/4^depth the picture size. Covers the LD
+    picture tail of /root/reference/src/DecodeStream/DecodeStream.cpp:
+    289-450 on chip."""
+    (ys, xs, lsh, lsw, csh, csw) = geo_key
+    (out_lh, out_lw, out_ch, out_cw) = out_key
+    Ly, Lc = lsh * lsw, csh * csw
+    fmt = _make_fmt(bitdepth, pack10)
+    bands_y = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(lsh, lsw, depth)[1]))
+    bands_c = tuple(int(c) for c in
+                    np.bincount(layout.lane_order(csh, csw, depth)[1]))
+    dims_y = lifting.band_dims(ys * lsh, xs * lsw, depth)
+    dims_c = lifting.band_dims(ys * csh, xs * csw, depth)
+
+    def fn(payload_u8, s_bits, len_bits, y_bits, uv_bits, q_idx, qm_bands,
+           ll_y, ll_u, ll_v):
+        qy, quv = device_unpack.unpack_ld_lanes(
+            payload_u8, s_bits, len_bits, y_bits, uv_bits, (Ly, Lc),
+            word_counts)
+        qu, qv = quv[:, 0::2], quv[:, 1::2]
+
+        def synth(lanes, bands_n, dims, ll, oh, ow):
+            scaled = scale_banded(lanes, q_idx, qm_bands, bands_n)
+            bands = list(lifting.lanes_to_bands(scaled, ys, xs, dims))
+            # the device-decoded LL lanes carry no DC prediction — the
+            # host recurrence's dequantised grid replaces that band
+            bands[0] = ll
+            return lifting.inverse_bands(bands, kernel, depth)[:oh, :ow]
+
+        out = jnp.concatenate([
+            fmt(synth(qy, bands_y, dims_y, ll_y, out_lh, out_lw)),
+            fmt(synth(qu, bands_c, dims_c, ll_u, out_ch, out_cw)),
+            fmt(synth(qv, bands_c, dims_c, ll_v, out_ch, out_cw))])
+        return _pack10_words(out) if pack10 else out
+
+    return jax.jit(fn)
+
+
+def synthesise_ld_payload_to_words(payload: np.ndarray, sizes, qmatrix,
+                                   kernel: WaveletKernel, depth: int, geo,
+                                   out_geometry: PictureGeometry,
+                                   bitdepth: int, qm_block_y, qm_block_c,
+                                   start: int = 0, allow_pack: bool = True):
+    """Async full-device LD decode route: the compressed payload plus the
+    small host-dequantised LL grids cross the link; entropy unpack of the
+    body coefficients, dequant, IDWT and output formatting run on chip.
+    Returns (q_indices, (device_words, postprocess)), or (q, None) when the
+    window blocks would be pathologically large (host/plane route instead).
+    Requires the native codec (the LL recurrence is host-sequential)."""
+    from vc2tpu._native.bridge import native
+    from vc2tpu.slices.ld import ld_header_fields
+    from vc2tpu.vlc.bitpack import unpack_signed_streams
+
+    q, s_bits, len_bits, y_bits, uv_bits, _end = ld_header_fields(
+        payload, sizes, start)
+    ts = 1 << depth
+    (lsh, lsw), (csh, csw) = geo.luma_slice, geo.chroma_slice
+    Ly, Lc = lsh * lsw, csh * csw
+    n = geo.n_slices
+    wy = device_unpack.window_words_bits(
+        _bucket_bytes(int(y_bits.max(initial=0)) // 8 + 1) * 8, Ly)
+    wc = device_unpack.window_words_bits(
+        _bucket_bytes(int(uv_bits.max(initial=0)) // 8 + 1) * 8, 2 * Lc)
+    if 4 * n * (wy + wc) > (1 << 28):
+        return q, None                      # skewed sizes: fall back
+
+    # host: the first nLL codes of each region are that component's LL
+    # lanes; run the sequential DC-prediction dequant on their grids
+    def ll_grid(lanes, sh, sw, llw, qm_block):
+        nll = (sh // ts) * (sw // ts)
+        # the first nll lanes of the serialisation order are the LL band;
+        # map them through the real lane order (no raster assumption)
+        perm, _ = layout.lane_order(sh, sw, depth)
+        by, bx = perm[:nll] // sw, perm[:nll] % sw
+        olly = (by // ts) * llw + (bx // ts)
+        sy, sx = np.divmod(np.arange(n), geo.x_slices)
+        origins = sy * (sh // ts) * llw + sx * (sw // ts)
+        llq = np.zeros(((geo.y_slices * sh) // ts, llw), np.int32)
+        llq.ravel()[origins[:, None] + olly[None, :]] = lanes
+        return native.ld_ll_dequantise_grid(llq, geo.y_slices, geo.x_slices,
+                                            ts, sh, sw, qm_block, q)
+
+    lly = unpack_signed_streams(payload, s_bits + 7 + len_bits, y_bits,
+                                (lsh // ts) * (lsw // ts))
+    lluv = unpack_signed_streams(payload, s_bits + 7 + len_bits + y_bits,
+                                 uv_bits, 2 * (csh // ts) * (csw // ts))
+    gy = ll_grid(lly, lsh, lsw, (geo.x_slices * lsw) // ts, qm_block_y)
+    gu = ll_grid(lluv[:, 0::2].copy(), csh, csw,
+                 (geo.x_slices * csw) // ts, qm_block_c)
+    gv = ll_grid(lluv[:, 1::2].copy(), csh, csw,
+                 (geo.x_slices * csw) // ts, qm_block_c)
+
+    geo_key = (geo.y_slices, geo.x_slices, lsh, lsw, csh, csw)
+    out_key = (out_geometry.luma_height, out_geometry.luma_width,
+               out_geometry.chroma_height, out_geometry.chroma_width)
+    pack10 = bool(allow_pack and bitdepth == 10)
+    fn = _ld_payload_synthesis_fn(kernel, depth, geo_key, out_key, bitdepth,
+                                  pack10, (wy, wc))
+    p4 = _bucket((len(payload) + 3) // 4 * 4 + 8)
+    padded = np.full(p4, 0xFF, np.uint8)    # at-EOF reads are 1-bits
+    padded[:len(payload)] = payload
+    i32 = lambda a: jnp.asarray(np.asarray(a), jnp.int32)
+    out = fn(jnp.asarray(padded), i32(s_bits), i32(len_bits), i32(y_bits),
+             i32(uv_bits), i32(q), jnp.asarray(qmatrix.astype(np.int32)),
+             i32(gy), i32(gu), i32(gv))
+    return q, _finish(out, out_geometry, pack10)
+
+
 def _bucket_bytes(n: int) -> int:
     """Power-of-two bucket (>= 8) for the per-component window size so VBR
     streams with drifting max component lengths do not retrace every frame."""
