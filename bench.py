@@ -125,21 +125,82 @@ def build_stream(cfg, geo, encoded, h, w, bits, profile, frame_rate,
     return buf.getvalue()
 
 
-def decode_fps(stream, n_frames, route=None, runs=3, label=""):
+def decode_fps(stream, n_frames, route=None, runs=3, label="", tail=None,
+               key=None):
+    """Median decode fps over `runs` repeats with the adaptive route
+    COMMITTED before the timed window: the warm-up run probes (device-timed
+    frame + host-timed frame, expensive at 4K through the tunnel) and the
+    timed runs are then forced onto the committed route, so they measure
+    steady-state decoding, not per-run re-probing."""
     from vc2tpu.cli.decode_stream import Decoder
 
-    dec = Decoder(sink=NullSink(), route=route)     # warm-up (jit compile)
+    dec = Decoder(sink=NullSink(), route=route)     # warm-up (jit + probe)
     dec.run(stream)
     assert dec.frames_out == n_frames, (label, dec.frames_out, n_frames)
+    committed = route or dec._route
     times = []
     for _ in range(runs):
-        dec = Decoder(sink=NullSink(), route=route)
+        dec = Decoder(sink=NullSink(), route=committed)
         t0 = time.perf_counter()
         dec.run(stream)
         times.append(dec.frames_out / (time.perf_counter() - t0))
     fps = float(np.median(times))
-    log(f"{label} route={dec._route} runs={[round(r, 2) for r in sorted(times)]}")
+    log(f"{label} route={committed} runs={[round(r, 2) for r in sorted(times)]}")
+    if tail is not None and key:
+        tail[key + "_runs"] = [round(r, 2) for r in sorted(times)]
     return fps
+
+
+def encode_fps(enc, pics, runs=3, label="", tail=None, key=None):
+    """Median async-pipelined encode fps over `runs` repeats of the batch."""
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        for r in [enc.encode_picture_async(p) for p in pics]:
+            r()
+        times.append(len(pics) / (time.perf_counter() - t0))
+    fps = float(np.median(times))
+    if label:
+        log(f"{label} runs={[round(r, 2) for r in sorted(times)]}")
+    if tail is not None and key:
+        tail[key + "_runs"] = [round(r, 2) for r in sorted(times)]
+    return fps
+
+
+def link_probe(tail, suffix=""):
+    """Tunnel-health metadata on the bench record: per-transfer latency plus
+    H2D / D2H bandwidth, so a reader can separate link weather from code
+    regressions (BENCH_r03's 4K dip was an unrecorded post-outage degraded
+    link). Uses dependent-op fetches (block_until_ready does not block
+    through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros((8,), jnp.int32) + 1)
+        lat.append(time.perf_counter() - t0)
+    buf = np.arange(2_000_000, dtype=np.uint32)     # 8 MB
+    h2d = d2h = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d = jax.device_put(buf)
+        np.asarray(d[:1] + np.uint32(0))
+        h2d = min(h2d, time.perf_counter() - t0)
+    d = jax.device_put(buf)
+    np.asarray(d[:1] + np.uint32(0))
+    for _ in range(2):
+        dd = d + np.uint32(1)
+        t0 = time.perf_counter()
+        np.asarray(dd)
+        d2h = min(d2h, time.perf_counter() - t0)
+    lat_ms = round(float(np.median(lat)) * 1e3, 1)
+    tail["link_latency_ms" + suffix] = lat_ms
+    tail["link_h2d_mbps" + suffix] = round(8 / h2d, 1)
+    tail["link_d2h_mbps" + suffix] = round(8 / d2h, 1)
+    log(f"link{suffix or ''}: latency {lat_ms} ms, "
+        f"H2D {8 / h2d:.1f} MB/s, D2H {8 / d2h:.1f} MB/s")
 
 
 def chain_ms(step, n_lo=8, n_hi=40, reps=3, label=""):
@@ -213,6 +274,7 @@ def main() -> int:
 
     _device_watchdog()
     tail = {}
+    link_probe(tail)
     h, w, bits = 1080, 1920, 10
     cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
                         kernel=WaveletKernel.LeGall, wavelet_depth=2,
@@ -233,10 +295,9 @@ def main() -> int:
     for _ in range(4):
         enc.encode_picture_async(pics[0])()
 
-    t0 = time.perf_counter()
-    handles = [enc.encode_picture_async(p) for p in pics]
-    encoded = [hd() for hd in handles]
-    enc_fps = len(pics) / (time.perf_counter() - t0)
+    enc_fps = encode_fps(enc, pics, runs=3, tail=tail,
+                         key="constq_encode_1080p_fps")
+    encoded = [hd() for hd in [enc.encode_picture_async(p) for p in pics]]
     tail["constq_encode_1080p_fps"] = round(enc_fps, 3)
 
     stream = build_stream(cfg, enc.geo, encoded, h, w, bits,
@@ -246,7 +307,8 @@ def main() -> int:
         f"{enc_fps / BASELINES['constq_encode_1080p_fps']:.1f}x)")
 
     # headline: auto-routed decode, median of 5
-    dec_fps = decode_fps(stream, len(pics), runs=5, label="decode[auto]")
+    dec_fps = decode_fps(stream, len(pics), runs=5, label="decode[auto]",
+                         tail=tail, key="hq_decode_1080p_fps")
     tail["hq_decode_1080p_fps"] = round(dec_fps, 3)
     # the TPU route itself, on the record (link-limited; BASELINE.md
     # "link ceiling" — the honest device end-to-end number)
@@ -266,10 +328,10 @@ def main() -> int:
                             compressed_bytes=829440, slice_scalar=2)
     cbr = Encoder(cbr_cfg)
     cbr.encode_picture(pics[0])
-    t0 = time.perf_counter()
+    cbr_fps = encode_fps(cbr, pics[:8], runs=3, tail=tail,
+                         key="cbr_encode_1080p_fps")
     cbr_encoded = [r() for r in [cbr.encode_picture_async(p)
                                  for p in pics[:8]]]
-    cbr_fps = 8 / (time.perf_counter() - t0)
     tail["cbr_encode_1080p_fps"] = round(cbr_fps, 3)
     log(f"CBR encode {cbr_fps:.2f} fps (ref "
         f"{BASELINES['cbr_encode_1080p_fps']}, "
@@ -280,7 +342,8 @@ def main() -> int:
         cbr_stream = build_stream(cbr_cfg, cbr.geo, cbr_encoded, h, w, bits,
                                   Profile.PROFILE_HQ, FrameRate.FR50)
         tail["cbr_decode_1080p_fps"] = round(
-            decode_fps(cbr_stream, 8, runs=3, label="CBR decode"), 3)
+            decode_fps(cbr_stream, 8, runs=3, label="CBR decode",
+                       tail=tail, key="cbr_decode_1080p_fps"), 3)
     except Exception as exc:
         log(f"CBR decode skipped ({exc})")
 
@@ -308,7 +371,8 @@ def main() -> int:
         ld_stream = build_stream(ld_cfg, ld.geo, ld_encoded, h, w, bits,
                                  Profile.PROFILE_LD, FrameRate.FR50)
         tail["ld_decode_1080p_fps"] = round(
-            decode_fps(ld_stream, 6, runs=3, label="LD decode"), 3)
+            decode_fps(ld_stream, 6, runs=3, label="LD decode",
+                       tail=tail, key="ld_decode_1080p_fps"), 3)
     except Exception as exc:
         log(f"LD encode/decode skipped ({exc})")
 
@@ -326,15 +390,18 @@ def main() -> int:
         p4 = [Picture(y - offset, c1 - offset, c2 - offset, ColourFormat.CF422)
               for (y, c1, c2) in f4]
         enc4.encode_picture(p4[0])
-        t0 = time.perf_counter()
+        fps4 = encode_fps(enc4, p4, runs=3, tail=tail,
+                          key="cbr_encode_4k_fps")
         enc4_res = [r() for r in [enc4.encode_picture_async(p) for p in p4]]
-        fps4 = len(p4) / (time.perf_counter() - t0)
         tail["cbr_encode_4k_fps"] = round(fps4, 3)
-        log(f"4K CBR encode {fps4:.2f} fps")
+        log(f"4K CBR encode {fps4:.2f} fps "
+            f"(ref {BASELINES['cbr_encode_4k_fps']}, "
+            f"{fps4 / BASELINES['cbr_encode_4k_fps']:.1f}x)")
         s4 = build_stream(k4, enc4.geo, enc4_res, 2160, 3840, bits,
                           Profile.PROFILE_HQ, FrameRate.FR50)
         tail["cbr_decode_4k_fps"] = round(
-            decode_fps(s4, 3, runs=3, label="4K decode"), 3)
+            decode_fps(s4, 3, runs=5, label="4K decode",
+                       tail=tail, key="cbr_decode_4k_fps"), 3)
     except Exception as exc:                      # secondary must not kill bench
         log(f"4K CBR encode/decode skipped ({exc})")
 
@@ -342,11 +409,11 @@ def main() -> int:
     try:
         budgets_z = jnp.zeros((enc.geo.n_slices,), jnp.int32)
         budgets_c = jnp.asarray(cbr.slice_budgets.ravel())
-        (y0, c10, c20), packed10 = enc._put_planes(pics[0])
+        buf0, packed10 = enc._put_planes(pics[0])
 
         def constq_call(prev):
             dep = jnp.int32(0) if prev is None else (prev["qy"][0, 0] & 1)
-            return enc._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+            return enc._analyse(buf0 + dep.astype(buf0.dtype),
                                 budgets_z, packed10=packed10)
 
         tail["device_constq_analyse_ms"] = round(
@@ -354,7 +421,7 @@ def main() -> int:
 
         def cbr_call(prev):
             dep = jnp.int32(0) if prev is None else (prev["qy"][0, 0] & 1)
-            return cbr._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+            return cbr._analyse(buf0 + dep.astype(buf0.dtype),
                                 budgets_c, packed10=packed10)
 
         tail["device_cbr_analyse_ms"] = round(
@@ -372,7 +439,7 @@ def main() -> int:
         def encstep_call(prev):
             dep = (jnp.int32(0) if prev is None
                    else (prev.ravel()[-1] & 1).astype(jnp.int32))
-            r = cbr._analyse(y0 + dep.astype(y0.dtype), c10, c20,
+            r = cbr._analyse(buf0 + dep.astype(buf0.dtype),
                              budgets_c, packed10=packed10)
             return device_pack.pack_hq_payload(
                 r["qy"], r["qu"], r["qv"], r["q_indices"], budgets_c,
@@ -386,14 +453,14 @@ def main() -> int:
 
         # same, at 4K (BASELINE config #4): scaling of the on-chip step
         try:
-            (y4, c14, c24), packed4 = enc4._put_planes(p4[0])
+            buf4, packed4 = enc4._put_planes(p4[0])
             budgets4 = jnp.asarray(enc4.slice_budgets.ravel())
             cfg4 = enc4.cfg
 
             def encstep4_call(prev):
                 dep = (jnp.int32(0) if prev is None
                        else (prev.ravel()[-1] & 1).astype(jnp.int32))
-                r = enc4._analyse(y4 + dep.astype(y4.dtype), c14, c24,
+                r = enc4._analyse(buf4 + dep.astype(buf4.dtype),
                                   budgets4, packed10=packed4)
                 return device_pack.pack_hq_payload(
                     r["qy"], r["qu"], r["qv"], r["q_indices"], budgets4,
@@ -483,6 +550,7 @@ def main() -> int:
     except Exception as exc:
         log(f"device chains skipped ({exc})")
 
+    link_probe(tail, suffix="_end")   # weather drift across the run
     vs = {k: round(tail[k] / BASELINES[k], 2)
           for k in tail if BASELINES.get(k)}
     print("bench-tail: " + json.dumps({**tail, "vs_baseline": vs}),

@@ -44,3 +44,28 @@ def test_valid_configs():
     _cfg(["-m", "HQ_ConstQ", "-q", "20"]).validate()
     _cfg(["-m", "HQ_CBR", "-s", "2048", "-S", "2", "-P", "1"]).validate()
     _cfg(["-m", "LD", "-s", "2048", "-F", "512"]).validate()
+
+
+def test_slice_suggestions_on_geometry_error(capsys):
+    """Geometry failure prints the reference's actionable hints
+    (EncodeStream.cpp:383-399) before raising."""
+    from vc2tpu.pipeline.encoder import slice_geometry
+
+    # 64x32 4:2:2 depth 2: hSlice 3 does not divide the padded widths;
+    # the nearest valid value (searched low-first, as the reference) is 2
+    cfg = _cfg(["-m", "HQ_ConstQ", "-q", "20", "-a", "3"])
+    with pytest.raises(ValueError, match="See above for suggested parameters"):
+        slice_geometry(cfg)
+    err = capsys.readouterr().err
+    assert "Consider setting --hSlice (-a) to 2" in err
+    assert "--vSlice (-u) to 1" in err
+
+    # depth too deep for the chroma width: suggest a workable depth too
+    deep = config_from_args(build_parser().parse_args(
+        ["in", "out", "-x", "16", "-y", "32", "-f", "4:2:2", "-k", "LeGall",
+         "-d", "4", "-u", "1", "-a", "1", "-m", "HQ_ConstQ", "-q", "20"]))
+    with pytest.raises(ValueError, match="See above for suggested parameters"):
+        slice_geometry(deep)
+    err = capsys.readouterr().err
+    assert "not possible to encode this input with a wavelet depth of 4" in err
+    assert "Consider setting --waveletDepth (-d) to" in err

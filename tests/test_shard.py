@@ -277,10 +277,12 @@ def test_mesh_decode_cli_bit_exact(fragment_length):
     assert sink.getvalue() == ref_sink.getvalue()
 
 
-def test_mesh_decode_ld_bit_exact():
-    """--mesh covers LD pictures too: host predictive dequant, then the
-    halo-exchange IDWT row-band sharded over ``space``, byte-identical to
-    the single-chip decode."""
+@pytest.mark.parametrize("device_unpack", ["1", "0"])
+def test_mesh_decode_ld_bit_exact(device_unpack, monkeypatch):
+    """--mesh covers LD pictures on both unpack routes: per-shard on-device
+    body entropy unpack (VC2TPU_DEVICE_UNPACK=1, only the LL DC recurrence
+    host-side) and host predictive dequant + halo-exchange IDWT (=0) —
+    byte-identical to the single-chip decode either way."""
     import io
     import pathlib
 
@@ -289,6 +291,7 @@ def test_mesh_decode_ld_bit_exact():
 
     if native is None:
         pytest.skip("LD decode needs the native host codec")
+    monkeypatch.setenv("VC2TPU_DEVICE_UNPACK", device_unpack)
     golden = pathlib.Path(__file__).resolve().parent / "golden"
     stream = (golden / "ld_legall_d2.vc2").read_bytes()
     want = (golden / "ld_legall_d2.dec.16p2").read_bytes()
@@ -296,6 +299,12 @@ def test_mesh_decode_ld_bit_exact():
     dec = Decoder(sink=sink, mesh="1x8")
     assert dec.run(stream) == 0
     assert sink.getvalue() == want
+    # the route must actually engage: the sharded LD payload step is cached
+    # under an "ld" key only when the per-shard device unpack ran
+    used_dev = any(isinstance(k, tuple) and k and k[0] == "ld"
+                   for sd in dec._sdec_cache.values() if sd is not None
+                   for k in sd._payload_steps)
+    assert used_dev == (device_unpack == "1")
 
 
 def test_mesh_decode_ld_indivisible_falls_back(capsys):

@@ -453,6 +453,36 @@ class Decoder:
             picture_bytes = (pre.slice_bytes_numerator * ys * xs
                              // pre.slice_bytes_denominator)
             sizes = layout.slice_bytes_map(ys, xs, picture_bytes, 1).ravel()
+            if (self.output == DecOutput.DECODED and self._route == "mesh"
+                    and self._device_unpack
+                    and ld_pipeline.native is not None):
+                # LD mesh route with per-shard on-device body unpack: only
+                # the header scan + sequential LL DC recurrence stay host
+                # (the HQ mesh route's LD counterpart)
+                sdec = self._sharded_decoder(pre, geo)
+                if sdec is not None:
+                    qmatrix = matrices.quant_matrix(pre.wavelet_kernel,
+                                                    pre.depth)
+                    qm_block_y = ld_pipeline._qm_block(*geo.luma_slice,
+                                                       pre.depth, qmatrix)
+                    qm_block_c = ld_pipeline._qm_block(*geo.chroma_slice,
+                                                       pre.depth, qmatrix)
+                    res = sdec.decode_ld_payload_device(
+                        payload, sizes, qm_block_y, qm_block_c, start=start)
+                    if res is not None:
+                        q_idx, (y, c1, c2) = res
+                        out_geom = PictureGeometry.of(pic_h, hdr.width,
+                                                      hdr.chroma_format)
+                        self._ld_dev_words = _format_words_host(
+                            y[:out_geom.luma_height, :out_geom.luma_width],
+                            c1[:out_geom.chroma_height,
+                               :out_geom.chroma_width],
+                            c2[:out_geom.chroma_height,
+                               :out_geom.chroma_width],
+                            hdr.bitdepth)
+                        return geo, pic_h, q_idx, None, None, None
+                # incompatible mesh geometry / skewed sizes: host-dequant
+                # routes below (the halo-IDWT mesh path still applies)
             if (self.output == DecOutput.DECODED and self._route == "device"
                     and self._device_unpack
                     and ld_pipeline.native is not None):

@@ -253,10 +253,50 @@ def run(args) -> int:
     picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
                      else cfg.compressed_bytes)
 
+    if verbose:
+        # operator-facing narration parity with the reference's -v
+        # (EncodeStream.cpp:284-293, 349-365, 408-429)
+        e = lambda *a: print(*a, file=sys.stderr)
+        e()
+        e(" ".join(sys.argv))
+        e(f"input file = {args.inFile}")
+        e(f"output file = {args.outFile}")
+        e(f"mode= {cfg.mode.value}")
+        e(f"bytes per sample= {cfg.bytes_per_sample}")
+        e(f"luma depth (bits) = {cfg.luma_depth}")
+        e(f"chroma depth (bits) = {cfg.chroma_depth}")
+        e(f"height = {geometry.luma_height}")
+        e(f"width = {geometry.luma_width}")
+        e(f"chroma format = {args.format}")
+        e(f"interlaced = {str(cfg.interlaced).lower()}")
+        if cfg.interlaced:
+            e(f"top field first = {str(cfg.top_field_first).lower()}")
+        e(f"wavelet kernel = {cfg.kernel.name}")
+        e(f"wavelet depth = {cfg.wavelet_depth}")
+        e("vertical slice size (in units of 2**(wavelet depth)) = "
+          f"{cfg.y_size}")
+        e("horizontal slice size (in units of 2**(wavelet depth)) = "
+          f"{cfg.x_size}")
+        e(f"compressed bytes = {cfg.compressed_bytes}")
+        e(f"output = {output.value}")
+        e(f"Vertical slices per picture          = {geo.y_slices}")
+        e(f"Horizontal slices per picture        = {geo.x_slices}")
+        if cfg.mode == Mode.HQ_CBR:
+            num, den = intmath.rationalise(picture_bytes, geo.n_slices)
+            e(f"Slice bytes numerator                = {num}")
+            e(f"Slice bytes denominator              = {den}")
+        from vc2tpu.wavelet import matrices as _m
+
+        qm = _m.quant_matrix(cfg.kernel, cfg.wavelet_depth)
+        e("Quantisation matrix = "
+          + ", ".join(str(int(v)) for v in qm))
+
     writer = StreamWriter(outfile)
     writer.fragment_length = (cfg.fragment_length
                               if cfg.mode in (Mode.HQ_CBR, Mode.LD) else 0)
     if output == EncOutput.STREAM:
+        if verbose:
+            print("\nWriting Sequence Header\n", file=sys.stderr)
         writer.start_sequence()
         profile = Profile.PROFILE_LD if cfg.mode == Mode.LD else Profile.PROFILE_HQ
         writer.write_sequence_header(SequenceHeader(
@@ -308,7 +348,17 @@ def run(args) -> int:
                 return 1
             break
         if verbose:
-            print(f"frame {frame}", file=sys.stderr)
+            # per-frame narration (EncodeStream.cpp:455-603); the transform,
+            # rate-control and quantise stages are one fused device dispatch
+            # here, so their lines print together at dispatch time
+            print(f"Reading input frame number {frame}", file=sys.stderr)
+            print("Forward transform", file=sys.stderr)
+            if cfg.mode in (Mode.HQ_CBR, Mode.LD):
+                print("Determine quantisation indices", file=sys.stderr)
+            print("Quantise transform coefficients", file=sys.stderr)
+            print("Split quantised coefficients into slices", file=sys.stderr)
+            if output == EncOutput.STREAM:
+                print("Writing compressed output to file", file=sys.stderr)
         decoded_fields = []
         frame_q_indices = []
         for pic_i in range(frame_pics):
@@ -394,18 +444,24 @@ def run(args) -> int:
                 outfile.write(f"{mean:.2f} {std:.2f}\n".encode())
                 outfile.write(f"{ypsnr:.4f} {upsnr:.4f} {vpsnr:.4f}\n".encode())
             if verbose:
-                print(f"PSNR Y/U/V = {ypsnr:.4f} {upsnr:.4f} {vpsnr:.4f}",
-                      file=sys.stderr)
+                print(f"PSNR for Y/R, U/G, V/B = {ypsnr:.4f}, {upsnr:.4f}, "
+                      f"{vpsnr:.4f}", file=sys.stderr)
+                if output == EncOutput.DECODED:
+                    print(f"Writing decoded output frame {frame}",
+                          file=sys.stderr)
         all_q_indices.extend(frame_q_indices)
         frame += 1
     flush_pending()
     if stream_frags:
         encoder.flush_stream(writer)
         all_q_indices.extend(getattr(encoder, "q_log", []))
+    if verbose:
+        print(f"\rEnd of input reached after {frame} frames", file=sys.stderr)
     if verbose and output != EncOutput.TRANSFORM and all_q_indices:
         qi = np.concatenate(all_q_indices).astype(np.float64)
         mean = float(qi.mean())
         std = float(np.sqrt(max((qi * qi).mean() - mean * mean, 0.0)))
+        print(file=sys.stderr)
         print(f"Mean, Standard Deviation of quantiser index = {mean:.2f}, "
               f"{std:.2f}", file=sys.stderr)
     if output == EncOutput.STREAM:

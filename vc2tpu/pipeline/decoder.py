@@ -247,36 +247,20 @@ def _ld_payload_synthesis_fn(kernel: WaveletKernel, depth: int, geo_key,
     return jax.jit(fn)
 
 
-def synthesise_ld_payload_to_words(payload: np.ndarray, sizes, qmatrix,
-                                   kernel: WaveletKernel, depth: int, geo,
-                                   out_geometry: PictureGeometry,
-                                   bitdepth: int, qm_block_y, qm_block_c,
-                                   start: int = 0, allow_pack: bool = True):
-    """Async full-device LD decode route: the compressed payload plus the
-    small host-dequantised LL grids cross the link; entropy unpack of the
-    body coefficients, dequant, IDWT and output formatting run on chip.
-    Returns (q_indices, (device_words, postprocess)), or (q, None) when the
-    window blocks would be pathologically large (host/plane route instead).
-    Requires the native codec (the LL recurrence is host-sequential)."""
+def ld_ll_grids(payload: np.ndarray, q, s_bits, len_bits, y_bits, uv_bits,
+                geo, depth: int, qm_block_y, qm_block_c):
+    """Host side of the device LD decode routes (single-chip and mesh):
+    unpack each slice region's leading LL codes and run the strictly
+    sequential DC-prediction dequant (reference Quantisation.cpp:287-306)
+    over the per-plane LL grids — grids are 1/4^depth the picture size.
+    Returns (gy, gu, gv) dequantised LL planes (np.int32)."""
     from vc2tpu._native.bridge import native
-    from vc2tpu.slices.ld import ld_header_fields
     from vc2tpu.vlc.bitpack import unpack_signed_streams
 
-    q, s_bits, len_bits, y_bits, uv_bits, _end = ld_header_fields(
-        payload, sizes, start)
     ts = 1 << depth
     (lsh, lsw), (csh, csw) = geo.luma_slice, geo.chroma_slice
-    Ly, Lc = lsh * lsw, csh * csw
     n = geo.n_slices
-    wy = device_unpack.window_words_bits(
-        _bucket_bytes(int(y_bits.max(initial=0)) // 8 + 1) * 8, Ly)
-    wc = device_unpack.window_words_bits(
-        _bucket_bytes(int(uv_bits.max(initial=0)) // 8 + 1) * 8, 2 * Lc)
-    if 4 * n * (wy + wc) > (1 << 28):
-        return q, None                      # skewed sizes: fall back
 
-    # host: the first nLL codes of each region are that component's LL
-    # lanes; run the sequential DC-prediction dequant on their grids
     def ll_grid(lanes, sh, sw, llw, qm_block):
         nll = (sh // ts) * (sw // ts)
         # the first nll lanes of the serialisation order are the LL band;
@@ -300,6 +284,36 @@ def synthesise_ld_payload_to_words(payload: np.ndarray, sizes, qmatrix,
                  (geo.x_slices * csw) // ts, qm_block_c)
     gv = ll_grid(lluv[:, 1::2].copy(), csh, csw,
                  (geo.x_slices * csw) // ts, qm_block_c)
+    return gy, gu, gv
+
+
+def synthesise_ld_payload_to_words(payload: np.ndarray, sizes, qmatrix,
+                                   kernel: WaveletKernel, depth: int, geo,
+                                   out_geometry: PictureGeometry,
+                                   bitdepth: int, qm_block_y, qm_block_c,
+                                   start: int = 0, allow_pack: bool = True):
+    """Async full-device LD decode route: the compressed payload plus the
+    small host-dequantised LL grids cross the link; entropy unpack of the
+    body coefficients, dequant, IDWT and output formatting run on chip.
+    Returns (q_indices, (device_words, postprocess)), or (q, None) when the
+    window blocks would be pathologically large (host/plane route instead).
+    Requires the native codec (the LL recurrence is host-sequential)."""
+    from vc2tpu.slices.ld import ld_header_fields
+
+    q, s_bits, len_bits, y_bits, uv_bits, _end = ld_header_fields(
+        payload, sizes, start)
+    (lsh, lsw), (csh, csw) = geo.luma_slice, geo.chroma_slice
+    Ly, Lc = lsh * lsw, csh * csw
+    n = geo.n_slices
+    wy = device_unpack.window_words_bits(
+        _bucket_bytes(int(y_bits.max(initial=0)) // 8 + 1) * 8, Ly)
+    wc = device_unpack.window_words_bits(
+        _bucket_bytes(int(uv_bits.max(initial=0)) // 8 + 1) * 8, 2 * Lc)
+    if 4 * n * (wy + wc) > (1 << 28):
+        return q, None                      # skewed sizes: fall back
+
+    gy, gu, gv = ld_ll_grids(payload, q, s_bits, len_bits, y_bits, uv_bits,
+                             geo, depth, qm_block_y, qm_block_c)
 
     geo_key = (geo.y_slices, geo.x_slices, lsh, lsw, csh, csw)
     out_key = (out_geometry.luma_height, out_geometry.luma_width,

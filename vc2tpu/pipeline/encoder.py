@@ -45,6 +45,42 @@ class SliceGeometry:
         return self.y_slices * self.x_slices
 
 
+def _print_slice_suggestions(cfg: EncoderConfig, luma_h: int,
+                             chroma_h: int) -> None:
+    """Actionable parameter hints on slice-geometry failure, matching the
+    reference's clog output (EncodeStream.cpp:383-399): suggest nearby
+    --hSlice/--vSlice values at the requested depth when a transform at that
+    depth is possible, else suggest the nearest workable --waveletDepth plus
+    matching slice sizes."""
+    import sys
+
+    g = cfg.geometry
+    d = cfg.wavelet_depth
+    try:
+        if (matrices.wavelet_transform_is_possible(d, g.luma_width,
+                                                   g.chroma_width)
+                and matrices.wavelet_transform_is_possible(d, luma_h,
+                                                           chroma_h)):
+            print("Consider setting --hSlice (-a) to "
+                  f"{matrices.suggest_slice_size(d, g.luma_width, g.chroma_width, cfg.x_size)}"
+                  " and --vSlice (-u) to "
+                  f"{matrices.suggest_slice_size(d, luma_h, chroma_h, cfg.y_size)}.",
+                  file=sys.stderr)
+        else:
+            sd = matrices.suggest_wavelet_depth(g.luma_width, luma_h,
+                                                g.chroma_width, chroma_h, d)
+            print(f"It is not possible to encode this input with a wavelet "
+                  f"depth of {d}.", file=sys.stderr)
+            print(f"Consider setting --waveletDepth (-d) to {sd}"
+                  " and --hSlice (-a) to "
+                  f"{matrices.suggest_slice_size(sd, g.luma_width, g.chroma_width, cfg.x_size)}"
+                  " and --vSlice (-u) to "
+                  f"{matrices.suggest_slice_size(sd, luma_h, chroma_h, cfg.y_size)}.",
+                  file=sys.stderr)
+    except ValueError:
+        pass                      # no workable parameters exist to suggest
+
+
 def slice_geometry(cfg: EncoderConfig) -> SliceGeometry:
     g = cfg.geometry
     luma_h = g.luma_height // 2 if cfg.interlaced else g.luma_height
@@ -54,9 +90,10 @@ def slice_geometry(cfg: EncoderConfig) -> SliceGeometry:
     x_slices = matrices.slice_size_is_valid(cfg.wavelet_depth, g.luma_width,
                                             g.chroma_width, cfg.x_size)
     if not y_slices or not x_slices:
+        _print_slice_suggestions(cfg, luma_h, chroma_h)
         raise ValueError(
             "The given waveletDepth, hSlice, and vSlice parameters cannot "
-            "encode this input.")
+            "encode this input. See above for suggested parameters.")
     pl = (matrices.padded_size(luma_h, cfg.wavelet_depth),
           matrices.padded_size(g.luma_width, cfg.wavelet_depth))
     pc = (matrices.padded_size(chroma_h, cfg.wavelet_depth),
@@ -87,6 +124,7 @@ class Encoder:
         self._route = None            # ConstQ analysis route (see
         self._probe_state = 0         # encode_picture_async)
         self._t_device = None
+        self._budgets_dev = None
         self.geo = slice_geometry(cfg)
         self.qmatrix = matrices.quant_matrix(cfg.kernel, cfg.wavelet_depth)
         d = cfg.wavelet_depth
@@ -131,24 +169,38 @@ class Encoder:
 
     # ---- device side ----
 
-    def _analyse_impl(self, y, c1, c2, budgets, keep_planes: bool = False,
+    def _analyse_impl(self, planes, budgets, keep_planes: bool = False,
                       packed10: bool = False):
         cfg = self.cfg
         d = cfg.wavelet_depth
+        g = cfg.geometry
+        luma_h = (g.luma_height // 2 if cfg.interlaced else g.luma_height)
+        chroma_h = (g.chroma_height // 2 if cfg.interlaced
+                    else g.chroma_height)
         if packed10:
-            g = cfg.geometry
-            luma_h = (g.luma_height // 2 if cfg.interlaced else g.luma_height)
-            chroma_h = (g.chroma_height // 2 if cfg.interlaced
-                        else g.chroma_height)
-
             def unpack(w, h, wdt):
                 v = jnp.stack([(w >> 20) & 1023, (w >> 10) & 1023, w & 1023],
                               axis=1).ravel()[:h * wdt]
                 return (v.astype(jnp.int32) - 512).reshape(h, wdt)
 
+            if isinstance(planes, tuple):
+                y, c1, c2 = planes
+            else:                  # one fused H2D buffer (3 packed planes)
+                nwy = (luma_h * g.luma_width + 2) // 3
+                nwc = (chroma_h * g.chroma_width + 2) // 3
+                y = planes[:nwy]
+                c1 = planes[nwy:nwy + nwc]
+                c2 = planes[nwy + nwc:nwy + 2 * nwc]
             y = unpack(y, luma_h, g.luma_width)
             c1 = unpack(c1, chroma_h, g.chroma_width)
             c2 = unpack(c2, chroma_h, g.chroma_width)
+        elif isinstance(planes, tuple):
+            y, c1, c2 = planes
+        else:
+            ny, nc = luma_h * g.luma_width, chroma_h * g.chroma_width
+            y = planes[:ny].reshape(luma_h, g.luma_width)
+            c1 = planes[ny:ny + nc].reshape(chroma_h, g.chroma_width)
+            c2 = planes[ny + nc:ny + 2 * nc].reshape(chroma_h, g.chroma_width)
         ys, xs = self.geo.y_slices, self.geo.x_slices
         by = lifting.forward_bands(lifting.wavelet_pad(y, d), cfg.kernel, d)
         bu = lifting.forward_bands(lifting.wavelet_pad(c1, d), cfg.kernel, d)
@@ -176,8 +228,11 @@ class Encoder:
     # ---- host side ----
 
     def _put_planes(self, picture: Picture):
-        """Host->device input transfer at the narrowest exact width: 3x10-bit
-        words for 10-bit video, int8 for <=8-bit, int16 otherwise."""
+        """Host->device input transfer at the narrowest exact width — 3x10-bit
+        words for 10-bit video, int8 for <=8-bit, int16 otherwise — fused
+        into ONE buffer so the frame costs a single transfer latency (the
+        tunnel adds ~30-40 ms per transfer; three plane uploads plus the
+        budgets re-upload were pure overhead)."""
         depth = max(self.cfg.luma_depth, self.cfg.chroma_depth)
         planes = (picture.y, picture.c1, picture.c2)
         if depth == 10:
@@ -186,20 +241,30 @@ class Encoder:
                 pad = (-v.size) % 3
                 if pad:
                     v = np.concatenate([v, np.zeros(pad, np.uint32)])
-                return jnp.asarray((v[0::3] << 20) | (v[1::3] << 10) | v[2::3])
+                return (v[0::3] << 20) | (v[1::3] << 10) | v[2::3]
 
-            return tuple(pack(p) for p in planes), True
-        dt = jnp.int8 if depth <= 8 else (jnp.int16 if depth <= 16
-                                          else jnp.int32)
-        return tuple(jnp.asarray(p, dt) for p in planes), False
+            return jnp.asarray(np.concatenate([pack(p) for p in planes])), True
+        dt = np.int8 if depth <= 8 else (np.int16 if depth <= 16
+                                         else np.int32)
+        return jnp.asarray(np.concatenate(
+            [np.asarray(p, dt).ravel() for p in planes])), False
+
+    def _budgets(self):
+        """Per-slice byte budgets, uploaded to the device once per Encoder
+        (they are static per stream; re-uploading per frame cost a transfer
+        latency plus up to 0.5 MB/frame at 4K)."""
+        if self._budgets_dev is None:
+            self._budgets_dev = (
+                jnp.asarray(self.slice_budgets.ravel())
+                if self.slice_budgets is not None
+                else jnp.zeros((self.geo.n_slices,), jnp.int32))
+        return self._budgets_dev
 
     def encode_picture(self, picture: Picture, keep_planes: bool = False,
                        ) -> EncodedPicture:
-        budgets = (jnp.asarray(self.slice_budgets.ravel())
-                   if self.slice_budgets is not None
-                   else jnp.zeros((self.geo.n_slices,), jnp.int32))
-        (y, c1, c2), packed10 = self._put_planes(picture)
-        res = self._analyse(y, c1, c2, budgets, keep_planes=keep_planes,
+        budgets = self._budgets()
+        planes, packed10 = self._put_planes(picture)
+        res = self._analyse(planes, budgets, keep_planes=keep_planes,
                             packed10=packed10)
         if not keep_planes:
             out = self._pack_on_device(res, budgets)
@@ -370,11 +435,9 @@ class Encoder:
         """Dispatch analysis + device packing and return a zero-arg callable
         producing the EncodedPicture; the device->host copy overlaps whatever
         the caller does before invoking it (one-frame software pipeline)."""
-        budgets = (jnp.asarray(self.slice_budgets.ravel())
-                   if self.slice_budgets is not None
-                   else jnp.zeros((self.geo.n_slices,), jnp.int32))
-        (y, c1, c2), packed10 = self._put_planes(picture)
-        res = self._analyse(y, c1, c2, budgets, keep_planes=False,
+        budgets = self._budgets()
+        planes, packed10 = self._put_planes(picture)
+        res = self._analyse(planes, budgets, keep_planes=False,
                             packed10=packed10)
         buf_dev = self._pack_dispatch(res, budgets)
 

@@ -467,6 +467,66 @@ def make_sharded_payload_decode_step(kernel, depth: int, geo, mesh: Mesh,
         return jax.jit(shmap)
 
 
+def make_sharded_ld_payload_decode_step(kernel, depth: int, geo, mesh: Mesh,
+                                        word_counts: tuple[int, int]):
+    """Jitted multi-chip LD decode from the *compressed* slice payload:
+    each shard entropy-unpacks its own contiguous slice run's body
+    coefficients on device (vlc/device_unpack.unpack_component_bits —
+    bit-granular bounded regions), dequantises, swaps in the host's
+    DC-prediction LL grids, and runs the halo-exchange IDWT. Only the
+    strictly sequential LL recurrence stays host-side (grids 1/4^depth the
+    picture). LD counterpart of make_sharded_payload_decode_step.
+    Reference: /root/reference/src/Library/src/Slices.cpp:195-303 (LD slice
+    layout) + src/DecodeStream/DecodeStream.cpp:289-450."""
+    from vc2tpu.vlc import device_unpack
+
+    space = mesh.shape["space"]
+    if geo.y_slices % space:
+        raise ValueError("y_slices must divide by the space mesh extent")
+    (lsh, lsw), (csh, csw) = geo.luma_slice, geo.chroma_slice
+    Ly, Lc = lsh * lsw, csh * csw
+    qmatrix = matrices.quant_matrix(kernel, depth)
+    qm = jnp.asarray(qmatrix.astype(np.int32))
+    bs_y, bs_c = _band_meta(geo, depth)
+    ys_local = geo.y_slices // space
+    dims_y = [(h // space, w) for (h, w) in
+              lifting.band_dims(*geo.padded_luma, depth)]
+    dims_c = [(h // space, w) for (h, w) in
+              lifting.band_dims(*geo.padded_chroma, depth)]
+
+    def local(payload_u8, q_idx, s_bits, len_bits, y_bits, uv_bits,
+              ll_y, ll_u, ll_v):
+        words = device_unpack.assemble_words(payload_u8)
+        d_y = (s_bits[0] + 7 + len_bits[0]).astype(jnp.int32)
+        qy = device_unpack.unpack_component_bits(words, d_y, y_bits[0], Ly,
+                                                 word_counts[0])
+        quv = device_unpack.unpack_component_bits(
+            words, (d_y + y_bits[0]).astype(jnp.int32), uv_bits[0],
+            2 * Lc, word_counts[1])
+        qu, qv = quv[:, 0::2], quv[:, 1::2]
+
+        def synth(lanes, bs, dims, ll):
+            t = scale_banded(lanes[None], q_idx, qm, bs)
+            bands = list(lifting.lanes_to_bands(t, ys_local, geo.x_slices,
+                                                dims))
+            # the device-decoded LL lanes carry no DC prediction — the host
+            # recurrence's dequantised grid replaces that band
+            bands[0] = ll
+            return inverse_bands_local(bands, kernel, depth, "space")
+
+        return (synth(qy, bs_y, dims_y, ll_y), synth(qu, bs_c, dims_c, ll_u),
+                synth(qv, bs_c, dims_c, ll_v))
+
+    shmap = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, "space")) + (P(None, "space"),) * 4
+        + (P(None, "space", None),) * 3,
+        out_specs=(P(None, "space", None),) * 3)
+
+    with mesh:
+        return jax.jit(shmap)
+
+
 class ShardedDecoder:
     """Host driver for multi-chip stream decode: entropy-unpack on host
     (native), scatter lanes across the ``space`` axis, synthesise under
@@ -507,6 +567,59 @@ class ShardedDecoder:
                                 (Ly, Lc, Lc), start=start)
         ly, lu, lv = data.lanes
         return self.synthesise(data.q_indices, ly, lu, lv)
+
+    def decode_ld_payload_device(self, payload: np.ndarray, sizes,
+                                 qm_block_y, qm_block_c, start: int = 0):
+        """One LD picture's slice payload -> (q_indices, (y, c1, c2) padded
+        planes) with the body entropy unpack ON DEVICE, each shard decoding
+        its own slice run (make_sharded_ld_payload_decode_step). Host work
+        is the header scan plus the sequential LL DC-prediction dequant.
+        Returns None when the per-shard window blocks would be
+        pathologically large (callers use the host-dequant mesh route)."""
+        from vc2tpu.pipeline.decoder import (_bucket, _bucket_bytes,
+                                             ld_ll_grids)
+        from vc2tpu.slices.ld import ld_header_fields
+        from vc2tpu.vlc import device_unpack
+
+        geo = self.geo
+        (lsh, lsw), (csh, csw) = geo.luma_slice, geo.chroma_slice
+        Ly, Lc = lsh * lsw, csh * csw
+        q, s_bits, len_bits, y_bits, uv_bits, _end = ld_header_fields(
+            payload, sizes, start)
+        wy = device_unpack.window_words_bits(
+            _bucket_bytes(int(y_bits.max(initial=0)) // 8 + 1) * 8, Ly)
+        wc = device_unpack.window_words_bits(
+            _bucket_bytes(int(uv_bits.max(initial=0)) // 8 + 1) * 8, 2 * Lc)
+        n_shard = geo.n_slices // self.mesh.shape["space"]
+        if 4 * n_shard * (wy + wc) > (1 << 28):
+            return None                     # skewed sizes: fall back
+        gy, gu, gv = ld_ll_grids(payload, q, s_bits, len_bits, y_bits,
+                                 uv_bits, geo, self.depth, qm_block_y,
+                                 qm_block_c)
+        p4 = _bucket((len(payload) + 3) // 4 * 4 + 8)
+        key = ("ld", wy, wc, p4)
+        step = self._payload_steps.get(key)
+        if step is None:
+            step = make_sharded_ld_payload_decode_step(
+                self.kernel, self.depth, self.geo, self.mesh, (wy, wc))
+            self._payload_steps[key] = step
+        padded = np.full(p4, 0xFF, np.uint8)   # at-EOF reads are 1-bits
+        padded[:len(payload)] = payload
+        sl_spec = NamedSharding(self.mesh, P(None, "space"))
+        grid_spec = NamedSharding(self.mesh, P(None, "space", None))
+
+        def put_rows(a):
+            return jax.device_put(np.asarray(a, np.int32)[None], sl_spec)
+
+        with self.mesh:
+            y, c1, c2 = step(
+                jax.device_put(padded, NamedSharding(self.mesh, P())),
+                put_rows(q), put_rows(s_bits), put_rows(len_bits),
+                put_rows(y_bits), put_rows(uv_bits),
+                jax.device_put(gy[None], grid_spec),
+                jax.device_put(gu[None], grid_spec),
+                jax.device_put(gv[None], grid_spec))
+        return q, (np.asarray(y)[0], np.asarray(c1)[0], np.asarray(c2)[0])
 
     def decode_payload_device(self, payload: np.ndarray, q_idx, dstart,
                               cbytes, prefix: int | None = None,
