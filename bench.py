@@ -203,6 +203,37 @@ def link_probe(tail, suffix=""):
         f"H2D {8 / h2d:.1f} MB/s, D2H {8 / d2h:.1f} MB/s")
 
 
+def cpu_probe(tail, suffix=""):
+    """Host-CPU health metadata, the host-side twin of link_probe: a fixed
+    native-engine workload (1080p LeGall depth-2 inverse DWT, best of 3)
+    timed at the start and end of the run. The host-route legs (decode,
+    LD, ConstQ analysis) run on this single shared core, and transient
+    tenant load has produced tight-but-2x-slow run lists (r4: LD decode
+    8.6 fps mid-bench vs 16 standalone minutes later); this pins what the
+    core was worth when each end of the bench ran."""
+    try:
+        from vc2tpu._native.bridge import native
+        from vc2tpu.pipeline.host_synth import _inverted_ladder
+        from vc2tpu.core.config import WaveletKernel
+
+        if native is None:
+            return
+        meta, taps, shift = _inverted_ladder(WaveletKernel.LeGall)
+        plane0 = (np.arange(1080 * 1920, dtype=np.int32)
+                  .reshape(1080, 1920) % 997 - 498)
+        best = float("inf")
+        for _ in range(3):
+            p = plane0.copy()
+            t0 = time.perf_counter()
+            native.idwt_plane(p, 2, meta, taps, shift)
+            best = min(best, time.perf_counter() - t0)
+        tail["cpu_idwt_1080p_ms" + suffix] = round(best * 1e3, 2)
+        log(f"cpu{suffix or ''}: 1080p IDWT probe {best * 1e3:.2f} ms "
+            f"(healthy ~5.6)")
+    except Exception as exc:                      # metadata must not kill bench
+        log(f"cpu probe skipped ({exc})")
+
+
 def chain_ms(step, n_lo=8, n_hi=40, reps=3, label=""):
     """Device-only ms per step. The dependent chain runs inside ONE jitted
     ``lax.fori_loop`` dispatch (per-call dispatch through the tunnel costs
@@ -275,6 +306,7 @@ def main() -> int:
     _device_watchdog()
     tail = {}
     link_probe(tail)
+    cpu_probe(tail)
     h, w, bits = 1080, 1920, 10
     cfg = EncoderConfig(height=h, width=w, chroma_format=ColourFormat.CF422,
                         kernel=WaveletKernel.LeGall, wavelet_depth=2,
@@ -551,6 +583,7 @@ def main() -> int:
         log(f"device chains skipped ({exc})")
 
     link_probe(tail, suffix="_end")   # weather drift across the run
+    cpu_probe(tail, suffix="_end")
     vs = {k: round(tail[k] / BASELINES[k], 2)
           for k in tail if BASELINES.get(k)}
     print("bench-tail: " + json.dumps({**tail, "vs_baseline": vs}),
