@@ -138,6 +138,10 @@ def test_encode_mesh_cli_byte_identical(mesh, tmp_path):
         assert open(out, "rb").read() == ref, name
 
 
+@pytest.mark.skipif(not os.environ.get("VC2TPU_SLOW"),
+                    reason="compile-heavy LD mesh permutation (~90 s); the "
+                           "sharded analysis DWT itself is default-tier "
+                           "covered by test_shard.py — set VC2TPU_SLOW=1")
 def test_encode_mesh_ld_byte_identical(tmp_path):
     """--mesh on an LD encode (row-band sharded analysis DWT, host rate
     control) must still produce the reference's bytes."""
