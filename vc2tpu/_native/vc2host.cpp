@@ -330,17 +330,18 @@ EXPORT int64_t fixedpack(const int16_t* lanes, int64_t S, int64_t n_lanes,
 // host post-processing; auto-vectorises under -O3 -march=native).
 EXPORT void unpack10_to_be16(const uint32_t* words, int64_t n_words,
                              int64_t n_samples, uint16_t* out) {
-  int64_t o = 0;
-  for (int64_t i = 0; i < n_words; ++i) {
-    const uint32_t w = words[i];
-    const uint16_t a = static_cast<uint16_t>(((w >> 20) & 1023u) << 6);
-    const uint16_t b = static_cast<uint16_t>(((w >> 10) & 1023u) << 6);
-    const uint16_t c = static_cast<uint16_t>((w & 1023u) << 6);
-    out[o] = static_cast<uint16_t>((a >> 8) | (a << 8));
-    if (o + 1 < n_samples) out[o + 1] = static_cast<uint16_t>((b >> 8) | (b << 8));
-    if (o + 2 < n_samples) out[o + 2] = static_cast<uint16_t>((c >> 8) | (c << 8));
-    o += 3;
-    if (o >= n_samples) break;
+  // thirds layout (decoder._pack10_words): word i packs samples
+  // (i, i+n_words, i+2*n_words) — lane-aligned on the device side
+  for (int64_t t = 0; t < 3; ++t) {
+    const int sh = 20 - 10 * static_cast<int>(t);
+    const int64_t base = t * n_words;
+    int64_t end = n_samples - base;
+    if (end > n_words) end = n_words;
+    for (int64_t i = 0; i < end; ++i) {
+      const uint16_t v =
+          static_cast<uint16_t>(((words[i] >> sh) & 1023u) << 6);
+      out[base + i] = static_cast<uint16_t>((v >> 8) | (v << 8));
+    }
   }
 }
 

@@ -40,12 +40,19 @@ def _make_fmt(bitdepth: int, pack10: bool):
 
 
 def _pack10_words(out):
-    """Pack 3x10-bit samples per uint32 word (the packed D2H wire form)."""
+    """Pack 3x10-bit samples per uint32 word (the packed D2H wire form).
+
+    Word i packs samples (i, i+m3, i+2*m3) — contiguous THIRDS of the flat
+    sample buffer, not (3i, 3i+1, 3i+2): the interleaved form needs a
+    lane-strided (-1, 3) reshape that XLA lowers to ~2.8 ms of relayout
+    loops per 1080p frame on v5e, while thirds are three whole-array
+    slices + shifts (~0.2 ms). The host side (_unpack10 /
+    vc2host.cpp unpack10_to_be16) mirrors the layout."""
     pad = (-out.shape[0]) % 3
     if pad:
         out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
-    t = out.reshape(-1, 3)
-    return (t[:, 0] << 20) | (t[:, 1] << 10) | t[:, 2]
+    m3 = out.shape[0] // 3
+    return (out[:m3] << 20) | (out[m3:2 * m3] << 10) | out[2 * m3:]
 
 
 def _finish(out, out_geometry: PictureGeometry, pack10: bool):
@@ -395,15 +402,12 @@ def _bucket(n: int) -> int:
 
 
 def _unpack10(w: np.ndarray, n_samples: int) -> bytes:
-    """Expand 3x10-bit packed uint32 words to the big-endian MSB-justified
-    16-bit planar wire format."""
+    """Expand 3x10-bit packed uint32 words (thirds layout, _pack10_words)
+    to the big-endian MSB-justified 16-bit planar wire format."""
     if native is not None:
         return native.unpack10_to_be16(w, n_samples).tobytes()
-    v = np.empty((w.size, 3), np.uint16)
-    v[:, 0] = (w >> 20) & 1023
-    v[:, 1] = (w >> 10) & 1023
-    v[:, 2] = w & 1023
-    flat = v.reshape(-1)[:n_samples]
+    flat = np.concatenate([(w >> 20) & 1023, (w >> 10) & 1023,
+                           w & 1023]).astype(np.uint16)[:n_samples]
     return (flat << 6).astype(">u2").tobytes()
 
 
