@@ -48,6 +48,75 @@ def test_device_pack_equals_host(prefix, scalar, cbr):
     assert payload[:total].tobytes() == ref_payload
 
 
+def test_device_pack_fuzz_alignments():
+    """Randomised configs sweeping slice counts, prefixes, scalars and CBR
+    budgets so slice starts hit every word-alignment phase — the word-space
+    scatter assembly (alignment pre-shift + boundary-word OR) must equal the
+    host packer byte-for-byte in all of them."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(3, 40))
+        ly = int(rng.choice([4, 16, 64]))
+        lc = max(ly // 2, 1)
+        prefix = int(rng.integers(0, 4))
+        scalar = int(rng.integers(1, 4))
+        cbr = bool(rng.integers(0, 2))
+        qy, qu, qv = _lanes(rng, n, ly, lc,
+                            zero_frac=float(rng.uniform(0.2, 0.95)),
+                            span=int(rng.integers(2, 400)))
+        q_idx = rng.integers(0, 120, n).astype(np.int32)
+        if cbr:
+            # budgets = each slice's natural size plus random 0..7 slack:
+            # always fits, and the ragged starts walk every byte phase
+            _, natural = encode_hq_slices(q_idx, qy, qu, qv, prefix, scalar)
+            sizes = (np.asarray(natural) - prefix
+                     + rng.integers(0, 8, n) * scalar).astype(np.int32)
+            ref_payload, ref_totals = encode_hq_slices(
+                q_idx, qy, qu, qv, prefix, scalar, slice_sizes=sizes)
+        else:
+            sizes = np.zeros(n, np.int32)
+            ref_payload, ref_totals = encode_hq_slices(q_idx, qy, qu, qv,
+                                                       prefix, scalar)
+        w32 = (int(np.asarray(ref_totals).max()) + 3) // 4 + 1
+        cap = int(np.asarray(ref_totals).sum()) + int(rng.integers(0, 9))
+        buf = np.asarray(device_pack.pack_hq_payload(
+            jnp.asarray(qy), jnp.asarray(qu), jnp.asarray(qv),
+            jnp.asarray(q_idx), jnp.asarray(sizes.astype(np.int32)),
+            prefix=prefix, scalar=scalar, w32=w32, cap_bytes=cap, cbr=cbr))
+        flags, q2, totals, payload = device_pack.unpack_result(buf, n)
+        total = int(totals.sum())
+        assert flags == 0, (trial, flags)
+        assert np.array_equal(totals, np.asarray(ref_totals)), trial
+        assert payload[:total].tobytes() == ref_payload, trial
+        assert not payload[total:].any(), trial     # capacity padding zeroed
+
+
+def test_pack10_thirds_round_trip():
+    """The packed D2H wire form (planar thirds: word i holds samples
+    i, i+m3, i+2*m3) must round-trip through BOTH host expanders — the
+    native unpack10_to_be16 and the NumPy fallback — including sample
+    counts that are not a multiple of 3."""
+    import jax
+
+    from vc2tpu._native.bridge import native
+    from vc2tpu.pipeline import decoder
+
+    rng = np.random.default_rng(3)
+    for ns in (1, 2, 3, 4, 95, 96, 97, 3 * 4096):
+        samples = rng.integers(0, 1024, ns).astype(np.uint32)
+        words = np.asarray(jax.jit(decoder._pack10_words)(
+            jnp.asarray(samples)))
+        want = ((samples.astype(np.uint16) << 6).astype(">u2")).tobytes()
+        # the shared entry (native fast path when available)
+        assert decoder._unpack10(words, ns) == want, ns
+        # the NumPy fallback expansion, explicitly
+        flat = np.concatenate([(words >> 20) & 1023, (words >> 10) & 1023,
+                               words & 1023]).astype(np.uint16)[:ns]
+        assert (flat << 6).astype(">u2").tobytes() == want, ns
+        if native is not None:
+            assert native.unpack10_to_be16(words, ns).tobytes() == want, ns
+
+
 def test_w32_overflow_flag():
     rng = np.random.default_rng(0)
     n, ly, lc = 8, 64, 32
