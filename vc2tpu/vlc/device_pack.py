@@ -222,9 +222,10 @@ def pack_hq_core(qy, qu, qv, q_idx, slice_sizes, *, prefix: int,
     # plain vector shifts, then scatter-add the rows at their global word
     # positions. Different slices' contributions to a shared boundary word
     # are bit-disjoint, so integer add realises OR (same invariant the
-    # local accumulate relies on). Measured 31.0 -> 3.9 ms/frame; a
-    # two-gather formulation (word->slice map + OR of the <=2 contributors)
-    # measured ~25% slower than the scatter and needs the map scan.
+    # local accumulate relies on). Whole pack measured 31.8 -> 2.9 ms/frame
+    # (with the uint32 fix above); a two-gather formulation (word->slice
+    # map + OR of the <=2 contributors) measured ~25% slower than the
+    # scatter and needs the map scan.
     cap4 = (cap_bytes + 3) // 4
     basew = starts >> 2                              # first global word
     sh = ((starts & 3) * 8).astype(jnp.uint32)       # bit misalignment
