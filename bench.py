@@ -579,6 +579,46 @@ def main() -> int:
         tail["device_decode_step_ms"] = round(dec_ms, 2)
         if dec_ms > 0:
             tail["device_hq_decode_fps_per_chip"] = round(1000.0 / dec_ms, 1)
+
+        # same, at 4K: the decode twin of device_cbr_encode_step_4k_ms
+        try:
+            pl4 = np.frombuffer(enc4_res[0].payload, np.uint8)
+            q4s, _d4, cb4, _e4 = scan_hq_slice_offsets(
+                pl4, enc4.geo.n_slices, k4.slice_prefix, k4.slice_scalar)
+            geo4 = enc4.geo
+            Ly4 = geo4.luma_slice[0] * geo4.luma_slice[1]
+            Lc4 = geo4.chroma_slice[0] * geo4.chroma_slice[1]
+            wc4 = tuple(
+                device_unpack.window_words(
+                    _bucket_bytes(int(cb4[c].max())), (Ly4, Lc4, Lc4)[c])
+                for c in range(3))
+            pfn4 = _payload_synthesis_fn(
+                k4.kernel, k4.wavelet_depth,
+                (geo4.y_slices, geo4.x_slices, *geo4.luma_slice,
+                 *geo4.chroma_slice), (2160, 3840, 2160, 3840 // 2),
+                bits, True, k4.slice_prefix, wc4)
+            pad4 = np.zeros(_bucket((len(pl4) + 3) // 4 * 4 + 8), np.uint8)
+            pad4[:len(pl4)] = pl4
+            pay4 = jnp.asarray(pad4)
+            cl4 = jnp.asarray(cb4, jnp.int32)
+            qi4 = jnp.asarray(np.asarray(q4s), jnp.int32)
+            qmb4 = jnp.asarray(enc4.qmatrix.astype(np.int32))
+
+            def decstep4_call(prev):
+                dep = (jnp.uint8(0) if prev is None
+                       else (jax.tree_util.tree_leaves(prev)[0].ravel()[0]
+                             & 1).astype(jnp.uint8))
+                return pfn4(pay4.at[-1].set(dep), cl4, jnp.int32(0),
+                            qi4, qmb4)
+
+            dec4_ms = chain_ms(decstep4_call, n_lo=2, n_hi=8,
+                               label="4K full decode step")
+            tail["device_decode_step_4k_ms"] = round(dec4_ms, 2)
+            if dec4_ms > 0:
+                tail["device_hq_decode_4k_fps_per_chip"] = round(
+                    1000.0 / dec4_ms, 1)
+        except Exception as exc:
+            log(f"4K decode chain skipped ({exc})")
     except Exception as exc:
         log(f"device chains skipped ({exc})")
 
