@@ -20,16 +20,24 @@ Mechanics (Mosaic-friendly forms only):
   (/root/reference/src/Library/src/WaveletTransform.cpp:495-498) exactly —
   and stays consistent through sequential lifting steps.
 
-The reach of a whole level's ladder is at most 16 rows (Fidelity), so
-HALO=32 is safe for every VC-2 kernel.
+The halo is sized per kernel from the ladder's propagation reach: a strip's
+interior rows are correct after the whole ladder iff every step's reads stay
+inside rows the previous steps computed correctly, so the correctness region
+shrinks by each step's tap reach — sum(max|off|) parity rows over the steps,
+x2 interleaved (LeGall 2 -> 8-row halo, Fidelity 8 -> 16).
 
-Status: bit-exact for all seven kernels (tests/test_pallas_lift.py). On the
-v5e used for development the XLA Mallat path (lifting.forward_bands) measures
-FASTER (0.35 vs 1.24 ms for a 1080p LeGall level) because the tight VMEM
-budget forces 64-row strips whose 2x32-row halos double the compute; the
-pipelines therefore default to the XLA path and this kernel is the opt-in
-backend (and the starting point for per-topology tuning where more VMEM per
-core is available).
+Status: bit-exact for all seven kernels (tests/test_pallas_lift.py), on the
+chip and in interpret mode. Round 4's per-kernel halos + 2 MB strips cut a
+1080p LeGall level from 1.24 ms to **0.01 ms** (4K: 0.20) — memory-bound
+speed, and 3-14x FASTER than the XLA in-place form (`lifting.lift_level`,
+0.14 / 0.62 ms) at every size. The production pipelines nevertheless stay
+on the XLA Mallat BAND form: it keeps parities split across the whole
+transform, so a per-level comparison includes the (de)interleaves only the
+in-place layout needs — measured end-to-end (forward_bands depth 2, 1080p)
+the band form is 0.07 ms vs 0.07/0.10 for a pallas-level-0 hybrid and the
+hybrid loses outright at 4K (0.33 vs 0.42 fwd, 0.37 vs 0.59 inv). This
+kernel is the right backend where the interleaved layout is imposed by the
+caller (none of the shipping paths impose it on device).
 """
 
 from __future__ import annotations
@@ -44,7 +52,15 @@ from jax.experimental.pallas import tpu as pltpu
 from vc2tpu.core.config import WaveletKernel
 from vc2tpu.wavelet.lifting import _STEPS, TRANSFORM_SHIFT
 
-HALO = 32
+
+@functools.lru_cache(maxsize=None)
+def _halo(kernel: WaveletKernel) -> int:
+    """Interleaved-row halo for one level of `kernel`: twice the ladder's
+    summed parity-space tap reach, rounded up to the 8-row sublane
+    granularity (and at least 8 so the halo BlockSpec stays tileable)."""
+    reach = sum(max(abs(o) for o, _ in taps)
+                for (_t, _s, taps, _a, _sh) in _STEPS[kernel])
+    return max(8, -(-2 * reach // 8) * 8)
 
 
 def _lane_shift_clamped(x, k: int, p_src: int, w: int):
@@ -131,12 +147,13 @@ def _v_steps(x, steps, is_top, is_bot, lo: int, hi: int):
 def _make_kernel(kernel: WaveletKernel, invert: bool, bh: int, w: int):
     steps = _STEPS[kernel]
     shift = TRANSFORM_SHIFT[kernel]
+    halo = _halo(kernel)
     if invert:
         steps = tuple((t, -s, taps, add, sh)
                       for (t, s, taps, add, sh) in reversed(steps))
 
-    lo = HALO // 2                      # first real parity row
-    hi = HALO // 2 + bh // 2 - 1        # last real parity row
+    lo = halo // 2                      # first real parity row
+    hi = halo // 2 + bh // 2 - 1        # last real parity row
 
     def body(top_ref, mid_ref, bot_ref, out_ref):
         i = pl.program_id(0)
@@ -154,7 +171,7 @@ def _make_kernel(kernel: WaveletKernel, invert: bool, bh: int, w: int):
             work = _h_steps(work, steps, w)
             if shift:
                 work = (work + (1 << (shift - 1))) >> shift
-        out_ref[:] = work[HALO:HALO + bh]
+        out_ref[:] = work[halo:halo + bh]
 
     return body
 
@@ -162,24 +179,25 @@ def _make_kernel(kernel: WaveletKernel, invert: bool, bh: int, w: int):
 @functools.lru_cache(maxsize=64)
 def _build(kernel: WaveletKernel, invert: bool, h: int, w: int, bh: int):
     body = _make_kernel(kernel, invert, bh, w)
+    halo = _halo(kernel)
     grid = h // bh
-    r = bh // HALO
+    r = bh // halo
 
     def idx_top(i):
         return (jnp.maximum(i * r - 1, 0).astype(jnp.int32), jnp.int32(0))
 
     def idx_bot(i):
-        return (jnp.minimum(i * r + r, h // HALO - 1).astype(jnp.int32),
+        return (jnp.minimum(i * r + r, h // halo - 1).astype(jnp.int32),
                 jnp.int32(0))
 
     fn = pl.pallas_call(
         body,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((HALO, w), idx_top, memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, w), idx_top, memory_space=pltpu.VMEM),
             pl.BlockSpec((bh, w), lambda i: (i, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALO, w), idx_bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((halo, w), idx_bot, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bh, w), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
@@ -189,13 +207,14 @@ def _build(kernel: WaveletKernel, invert: bool, h: int, w: int, bh: int):
     return fn
 
 
-def _pick_bh(h: int, w: int) -> int | None:
-    """Largest strip height that divides h, is a multiple of HALO, and
-    keeps the (bh + 2*HALO, w) working set within the VMEM budget."""
-    # the lifting ladder keeps ~8-10 work-sized vectors live in VMEM, so the
-    # strip itself must stay near 1 MB of the ~16 MB budget
-    for bh in range(min(h, 1024), HALO - 1, -HALO):
-        if h % bh == 0 and (bh + 2 * HALO) * w * 4 <= 2 ** 20:
+def _pick_bh(h: int, w: int, halo: int) -> int | None:
+    """Largest strip height that divides h, is a multiple of halo, and
+    keeps the (bh + 2*halo, w) working set within the VMEM budget."""
+    # the lifting ladder keeps ~7 work-sized vectors live in VMEM (measured
+    # by the compiler's scoped-vmem accounting), so the strip must stay
+    # within ~2 MB of the 16 MB budget
+    for bh in range(min(h, 2048) // halo * halo, halo - 1, -halo):
+        if h % bh == 0 and (bh + 2 * halo) * w * 4 <= 2 * 2 ** 20:
             return bh
     return None
 
@@ -203,10 +222,11 @@ def _pick_bh(h: int, w: int) -> int | None:
 def supported(h: int, w: int, kernel: WaveletKernel) -> bool:
     if kernel == WaveletKernel.NullKernel:
         return False
-    if w % 128 or h % (2 * HALO):
+    halo = _halo(kernel)
+    if w % 128 or h % halo:
         return False
-    bh = _pick_bh(h, w)
-    return bh is not None and bh >= 2 * HALO
+    bh = _pick_bh(h, w, halo)
+    return bh is not None and bh >= 2 * halo
 
 
 def lift_level(x, kernel: WaveletKernel, invert: bool = False):
@@ -216,5 +236,5 @@ def lift_level(x, kernel: WaveletKernel, invert: bool = False):
     if not supported(h, w, kernel):
         raise ValueError(f"pallas lift: unsupported shape {h}x{w} for "
                          f"{kernel.name} (see pallas_lift.supported)")
-    fn = _build(kernel, invert, h, w, _pick_bh(h, w))
+    fn = _build(kernel, invert, h, w, _pick_bh(h, w, _halo(kernel)))
     return fn(x, x, x)
