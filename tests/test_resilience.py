@@ -309,3 +309,44 @@ def test_random_corruption_never_crashes_device_route():
             s[rng.integers(13, len(s))] = rng.integers(0, 256)
         dec = Decoder(sink=io.BytesIO(), route="device")
         assert dec.run(bytes(s)) == 0
+
+
+def test_auto_route_borderline_takes_second_sample(monkeypatch):
+    """A borderline first host-synth reading (within 3x of the link probe)
+    must NOT commit the route: the probe is a min-of-2 warm measurement and
+    one cold host frame locked an r4 bench stream onto a 5x-slower route.
+    The decoder takes a second sample and commits on the min."""
+    import io
+
+    from vc2tpu.pipeline import host_synth
+
+    if not host_synth.available():
+        import pytest
+
+        pytest.skip("needs the native host codec")
+    stream = (GOLDEN / "constq_legall_d2.vc2").read_bytes()
+    want = (GOLDEN / "constq_legall_d2.dec.16p2").read_bytes()
+
+    committed_after = []
+
+    def fake_probe(self, nbytes, budget=2.0):
+        # slightly ABOVE the current host synth best: host should win, but
+        # not by the decisive 3x margin on the first frame
+        return min(self._host_probe_ts) * 1.5
+
+    monkeypatch.setattr(Decoder, "_probe_link_seconds", fake_probe)
+    orig = Decoder._auto_route
+
+    def spy(self, host_fn, out_bytes):
+        res = orig(self, host_fn, out_bytes)
+        committed_after.append((len(self._host_probe_ts), self._route))
+        return res
+
+    monkeypatch.setattr(Decoder, "_auto_route", spy)
+    sink = io.BytesIO()
+    dec = Decoder(sink=sink)
+    assert dec.run(stream) == 0
+    assert sink.getvalue() == want              # bit-exact either way
+    # first call must NOT have committed; the second must commit to host
+    assert committed_after[0] == (1, None)
+    assert committed_after[1][1] == "host"
