@@ -508,6 +508,47 @@ def main() -> int:
         except Exception as exc:
             log(f"4K device chain skipped ({exc})")
 
+        # same, at 8K (BASELINE.json config #5's per-chip denominator: the
+        # 8-way row-band sharding validated on the virtual mesh divides
+        # this single-chip step across ICI at ~0.3% comm per frame)
+        try:
+            k8 = EncoderConfig(
+                height=4320, width=7680, chroma_format=ColourFormat.CF422,
+                kernel=WaveletKernel.LeGall, wavelet_depth=2,
+                y_size=2, x_size=2, mode=Mode.HQ_CBR,
+                luma_depth=bits, chroma_depth=bits,
+                frame_rate=FrameRate.FR50,
+                compressed_bytes=16 * 829440, slice_scalar=2)
+            enc8 = Encoder(k8)
+            f8 = synth_frames(1, 4320, 7680, bits, seed=13)
+            p8 = Picture(f8[0][0].astype(np.int32) - offset,
+                         f8[0][1] - offset, f8[0][2] - offset,
+                         ColourFormat.CF422)
+            enc8.encode_picture(p8)
+            buf8, packed8 = enc8._put_planes(p8)
+            budgets8 = jnp.asarray(enc8.slice_budgets.ravel())
+            cfg8 = enc8.cfg
+
+            def encstep8_call(prev):
+                dep = (jnp.int32(0) if prev is None
+                       else (prev.ravel()[-1] & 1).astype(jnp.int32))
+                r = enc8._analyse(buf8 + dep.astype(buf8.dtype),
+                                  budgets8, packed10=packed8)
+                return device_pack.pack_hq_payload(
+                    r["qy"], r["qu"], r["qv"], r["q_indices"], budgets8,
+                    prefix=cfg8.slice_prefix, scalar=cfg8.slice_scalar,
+                    w32=enc8._w32, cap_bytes=enc8._cap, cbr=True)
+
+            ms8 = chain_ms(encstep8_call, n_lo=2, n_hi=6,
+                           label="8K CBR encode step")
+            tail["device_cbr_encode_step_8k_ms"] = round(ms8, 2)
+            if ms8 > 0:
+                tail["device_cbr_encode_8k_fps_per_chip"] = round(
+                    1000.0 / ms8, 1)
+            del enc8, buf8, packed8, p8, f8
+        except Exception as exc:
+            log(f"8K device chain skipped ({exc})")
+
         # decode synthesis tail: dequant + IDWT + clip + format, on device
         from vc2tpu.pipeline.decoder import _synthesis_bytes_fn
         from vc2tpu.slices.hq import decode_hq_slices
