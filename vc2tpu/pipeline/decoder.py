@@ -24,13 +24,14 @@ from vc2tpu.wavelet import lifting, matrices
 def _make_fmt(bitdepth: int, pack10: bool):
     """Output-sample formatter shared by every device decode tail: clip to
     signal range, offset binary, then the wire form (uint8 / MSB-justified
-    big-endian uint16 / pack10 staging as flat uint32)."""
+    big-endian uint16 / pack10 staging as a still-2D uint32 plane — the
+    pack10 path must NOT ravel; see _pack_planes10)."""
     zero = 1 << (bitdepth - 1)
 
     def fmt(p):
         v = jnp.clip(p, -zero, zero - 1) + zero
         if pack10:
-            return v.astype(jnp.uint32).ravel()
+            return v.astype(jnp.uint32)
         if bitdepth == 8:
             return v.astype(jnp.uint8).ravel()
         v = (v << (16 - bitdepth)).astype(jnp.uint16)
@@ -40,19 +41,47 @@ def _make_fmt(bitdepth: int, pack10: bool):
 
 
 def _pack10_words(out):
-    """Pack 3x10-bit samples per uint32 word (the packed D2H wire form).
+    """Pack 3x10-bit samples per uint32 word (flat-buffer form).
 
     Word i packs samples (i, i+m3, i+2*m3) — contiguous THIRDS of the flat
     sample buffer, not (3i, 3i+1, 3i+2): the interleaved form needs a
     lane-strided (-1, 3) reshape that XLA lowers to ~2.8 ms of relayout
     loops per 1080p frame on v5e, while thirds are three whole-array
     slices + shifts (~0.2 ms). The host side (_unpack10 /
-    vc2host.cpp unpack10_to_be16) mirrors the layout."""
+    vc2host.cpp unpack10_to_be16) mirrors the layout. The decode tails use
+    the 2D _pack_planes10 below instead — flattening the IDWT planes
+    inside the program costs another ~3 ms of relayout loops."""
     pad = (-out.shape[0]) % 3
     if pad:
         out = jnp.concatenate([out, jnp.zeros((pad,), jnp.uint32)])
     m3 = out.shape[0] // 3
     return (out[:m3] << 20) | (out[m3:2 * m3] << 10) | out[2 * m3:]
+
+
+def _pack_planes10(planes):
+    """2D thirds pack of whole planes: plane rows (r, r+h3, r+2h3) pack
+    into word row r — row slices and shifts only, every array stays 2D in
+    its natural device layout. An in-program ``.ravel()`` of the three
+    IDWT output planes measured ~3 ms/frame of relayout loops at 1080p on
+    v5e, while the transfer's own linearisation of a 2D result is free
+    (it rides the outfeed DMA), so the flatten must not appear in the
+    program. Returns ONE 2D uint32 array: luma word rows stacked over the
+    chroma pair (side by side when 2*cw == lw — 4:2:2/4:2:0 — stacked
+    otherwise). Host twin: _unpack10_2d. Row-major raveled, each plane's
+    word block is exactly the flat thirds layout of its (row-padded)
+    plane, so the flat expanders apply per plane unchanged."""
+    words = []
+    for p in planes:
+        hh = p.shape[0]
+        h3 = -(-hh // 3)
+        if 3 * h3 != hh:
+            p = jnp.pad(p, ((0, 3 * h3 - hh), (0, 0)))
+        words.append((p[:h3] << 20) | (p[h3:2 * h3] << 10) | p[2 * h3:])
+    wy, wu, wv = words
+    if 2 * wu.shape[1] == wy.shape[1]:
+        uv = jnp.concatenate([wu, wv], axis=1)
+        return jnp.concatenate([wy, uv], axis=0)
+    return jnp.concatenate([wy, wu, wv], axis=0)
 
 
 def _finish(out, out_geometry: PictureGeometry, pack10: bool):
@@ -63,9 +92,9 @@ def _finish(out, out_geometry: PictureGeometry, pack10: bool):
     except Exception:
         pass
     if pack10:
-        ns = (out_geometry.luma_height * out_geometry.luma_width
-              + 2 * out_geometry.chroma_height * out_geometry.chroma_width)
-        return out, functools.partial(_unpack10, n_samples=ns)
+        dims = (out_geometry.luma_height, out_geometry.luma_width,
+                out_geometry.chroma_height, out_geometry.chroma_width)
+        return out, functools.partial(_unpack10_2d, dims=dims)
     return out, (lambda a: a.tobytes())
 
 
@@ -97,8 +126,9 @@ def _lanes_words_tail(kernel: WaveletKernel, depth: int, geo_key, out_key,
         y = lifting.inverse_bands(by, kernel, depth)[:out_lh, :out_lw]
         c1 = lifting.inverse_bands(bu, kernel, depth)[:out_ch, :out_cw]
         c2 = lifting.inverse_bands(bv, kernel, depth)[:out_ch, :out_cw]
-        out = jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
-        return _pack10_words(out) if pack10 else out
+        if pack10:
+            return _pack_planes10([fmt(y), fmt(c1), fmt(c2)])
+        return jnp.concatenate([fmt(y), fmt(c1), fmt(c2)])
 
     return tail
 
@@ -245,11 +275,12 @@ def _ld_payload_synthesis_fn(kernel: WaveletKernel, depth: int, geo_key,
             bands[0] = ll
             return lifting.inverse_bands(bands, kernel, depth)[:oh, :ow]
 
-        out = jnp.concatenate([
-            fmt(synth(qy, bands_y, dims_y, ll_y, out_lh, out_lw)),
-            fmt(synth(qu, bands_c, dims_c, ll_u, out_ch, out_cw)),
-            fmt(synth(qv, bands_c, dims_c, ll_v, out_ch, out_cw))])
-        return _pack10_words(out) if pack10 else out
+        fy = fmt(synth(qy, bands_y, dims_y, ll_y, out_lh, out_lw))
+        fu = fmt(synth(qu, bands_c, dims_c, ll_u, out_ch, out_cw))
+        fv = fmt(synth(qv, bands_c, dims_c, ll_v, out_ch, out_cw))
+        if pack10:
+            return _pack_planes10([fy, fu, fv])
+        return jnp.concatenate([fy, fu, fv])
 
     return jax.jit(fn)
 
@@ -361,10 +392,12 @@ def _idwt_bytes_fn(kernel: WaveletKernel, depth: int, out_key, bitdepth: int,
         return lifting.inverse_bands(bands, kernel, depth)[:lh, :lw]
 
     def fn(ty, tu, tv):
-        out = jnp.concatenate([fmt(inv(ty, out_lh, out_lw)),
-                               fmt(inv(tu, out_ch, out_cw)),
-                               fmt(inv(tv, out_ch, out_cw))])
-        return _pack10_words(out) if pack10 else out
+        fy = fmt(inv(ty, out_lh, out_lw))
+        fu = fmt(inv(tu, out_ch, out_cw))
+        fv = fmt(inv(tv, out_ch, out_cw))
+        if pack10:
+            return _pack_planes10([fy, fu, fv])
+        return jnp.concatenate([fy, fu, fv])
 
     return jax.jit(fn)
 
@@ -402,13 +435,34 @@ def _bucket(n: int) -> int:
 
 
 def _unpack10(w: np.ndarray, n_samples: int) -> bytes:
-    """Expand 3x10-bit packed uint32 words (thirds layout, _pack10_words)
-    to the big-endian MSB-justified 16-bit planar wire format."""
+    """Expand 3x10-bit packed uint32 words (flat thirds layout) to the
+    big-endian MSB-justified 16-bit planar wire format."""
     if native is not None:
         return native.unpack10_to_be16(w, n_samples).tobytes()
     flat = np.concatenate([(w >> 20) & 1023, (w >> 10) & 1023,
                            w & 1023]).astype(np.uint16)[:n_samples]
     return (flat << 6).astype(">u2").tobytes()
+
+
+def _unpack10_2d(w2d: np.ndarray, dims) -> bytes:
+    """Host twin of _pack_planes10: split the fetched 2D word array back
+    into per-plane word blocks and expand each — a plane's block raveled
+    row-major IS the flat thirds layout of the (row-padded) plane, with
+    the pad rows landing at the tail where the sample-count crop drops
+    them, so the flat expander applies per plane unchanged."""
+    lh, lw, ch, cw = dims
+    lh3 = -(-lh // 3)
+    wy = np.ascontiguousarray(w2d[:lh3])
+    rest = w2d[lh3:]
+    if 2 * cw == lw:
+        wu = np.ascontiguousarray(rest[:, :cw])
+        wv = np.ascontiguousarray(rest[:, cw:])
+    else:
+        ch3 = -(-ch // 3)
+        wu = np.ascontiguousarray(rest[:ch3])
+        wv = np.ascontiguousarray(rest[ch3:])
+    return b"".join(_unpack10(p.ravel(), ns) for p, ns in
+                    ((wy, lh * lw), (wu, ch * cw), (wv, ch * cw)))
 
 
 def synthesise_to_words(combined, q_indices, qmatrix, kernel: WaveletKernel,
