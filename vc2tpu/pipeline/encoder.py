@@ -178,22 +178,32 @@ class Encoder:
         chroma_h = (g.chroma_height // 2 if cfg.interlaced
                     else g.chroma_height)
         if packed10:
-            def unpack(w, h, wdt):
-                v = jnp.stack([(w >> 20) & 1023, (w >> 10) & 1023, w & 1023],
-                              axis=1).ravel()[:h * wdt]
-                return (v.astype(jnp.int32) - 512).reshape(h, wdt)
+            # 2D row-thirds wire form (_put_planes): word row r of a plane
+            # packs its rows (r, r+h3, r+2h3). Unpacking is three shifts +
+            # a row concat — all 2D, no lane-strided interleave and no
+            # flat->2D reshape (the old stack().ravel().reshape() form was
+            # the same relayout-loop trap the decode tails had)
+            def unpack2d(w2d, h):
+                v = jnp.concatenate([(w2d >> 20) & 1023,
+                                     (w2d >> 10) & 1023,
+                                     w2d & 1023], axis=0)[:h]
+                return v.astype(jnp.int32) - 512
 
+            lh3 = -(-luma_h // 3)
+            ch3 = -(-chroma_h // 3)
             if isinstance(planes, tuple):
-                y, c1, c2 = planes
-            else:                  # one fused H2D buffer (3 packed planes)
-                nwy = (luma_h * g.luma_width + 2) // 3
-                nwc = (chroma_h * g.chroma_width + 2) // 3
-                y = planes[:nwy]
-                c1 = planes[nwy:nwy + nwc]
-                c2 = planes[nwy + nwc:nwy + 2 * nwc]
-            y = unpack(y, luma_h, g.luma_width)
-            c1 = unpack(c1, chroma_h, g.chroma_width)
-            c2 = unpack(c2, chroma_h, g.chroma_width)
+                wy, wu, wv = planes
+            elif 2 * g.chroma_width == g.luma_width:
+                wy = planes[:lh3]
+                wu = planes[lh3:, :g.chroma_width]
+                wv = planes[lh3:, g.chroma_width:]
+            else:
+                wy = planes[:lh3]
+                wu = planes[lh3:lh3 + ch3]
+                wv = planes[lh3 + ch3:]
+            y = unpack2d(wy, luma_h)
+            c1 = unpack2d(wu, chroma_h)
+            c2 = unpack2d(wv, chroma_h)
         elif isinstance(planes, tuple):
             y, c1, c2 = planes
         else:
@@ -236,14 +246,25 @@ class Encoder:
         depth = max(self.cfg.luma_depth, self.cfg.chroma_depth)
         planes = (picture.y, picture.c1, picture.c2)
         if depth == 10:
+            # 2D row-thirds pack, the H2D twin of the decode tails'
+            # _pack_planes10: ONE 2D buffer (luma word rows over the
+            # side-by-side chroma pair) so the device unpack needs no
+            # relayout; the transfer linearisation is free either way
             def pack(a):
-                v = (np.asarray(a, np.int32).ravel() + 512).astype(np.uint32)
-                pad = (-v.size) % 3
-                if pad:
-                    v = np.concatenate([v, np.zeros(pad, np.uint32)])
-                return (v[0::3] << 20) | (v[1::3] << 10) | v[2::3]
+                p = (np.asarray(a, np.int32) + 512).astype(np.uint32)
+                hh, ww = p.shape
+                h3 = -(-hh // 3)
+                if 3 * h3 != hh:
+                    p = np.vstack([p, np.zeros((3 * h3 - hh, ww),
+                                               np.uint32)])
+                return (p[:h3] << 20) | (p[h3:2 * h3] << 10) | p[2 * h3:]
 
-            return jnp.asarray(np.concatenate([pack(p) for p in planes])), True
+            wy, wu, wv = (pack(p) for p in planes)
+            if 2 * wu.shape[1] == wy.shape[1]:
+                fused = np.vstack([wy, np.hstack([wu, wv])])
+            else:
+                fused = np.vstack([wy, wu, wv])
+            return jnp.asarray(fused), True
         dt = np.int8 if depth <= 8 else (np.int16 if depth <= 16
                                          else np.int32)
         return jnp.asarray(np.concatenate(
