@@ -346,7 +346,8 @@ def main() -> int:
     # "link ceiling" — the honest device end-to-end number)
     try:
         dev_fps = decode_fps(stream, len(pics), route="device", runs=3,
-                             label="decode[device]")
+                             label="decode[device]", tail=tail,
+                             key="hq_decode_1080p_device_fps")
         tail["hq_decode_1080p_device_fps"] = round(dev_fps, 3)
     except Exception as exc:
         log(f"device-route decode skipped ({exc})")
@@ -392,9 +393,14 @@ def main() -> int:
                                compressed_bytes=829440)
         ld = LDEncoder(ld_cfg)
         ld.encode_picture(pics[0])
-        t0 = time.perf_counter()
-        ld_encoded = [ld.encode_picture(p) for p in pics[:6]]
-        ld_fps = 6 / (time.perf_counter() - t0)
+        ld_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ld_encoded = [ld.encode_picture(p) for p in pics[:6]]
+            ld_times.append(6 / (time.perf_counter() - t0))
+        ld_fps = float(np.median(ld_times))
+        tail["ld_encode_1080p_fps_runs"] = [round(r, 2)
+                                            for r in sorted(ld_times)]
         tail["ld_encode_1080p_fps"] = round(ld_fps, 3)
         log(f"LD encode {ld_fps:.2f} fps (ref "
             f"{BASELINES['ld_encode_1080p_fps']}, "

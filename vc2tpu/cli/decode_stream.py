@@ -48,9 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(view with TensorBoard / xprof)")
     p.add_argument("--mesh", metavar="DxS", default=None,
                    help="decode on a DxS device mesh (row-band spatial "
-                        "parallelism over the S axis): entropy unpack on "
-                        "host, lane scatter + halo-exchange synthesis under "
-                        "shard_map, bit-exact vs single-chip")
+                        "parallelism over the S axis): each shard entropy-"
+                        "unpacks its own slice run on device, then dequant + "
+                        "halo-exchange synthesis under the same shard_map; "
+                        "bit-exact vs single-chip")
     return p
 
 
@@ -246,9 +247,12 @@ class Decoder:
         The link probe is a min-of-2 warm measurement, so a single COLD
         host frame (first-call page-ins, lru table builds, a transient CPU
         spike) is not a fair opponent: commit on the first frame only when
-        it is decisive (3x either side), otherwise time a second host frame
-        and compare the min — an r4 bench run saw one borderline cold frame
-        lock an 8-frame stream onto a 5x-slower route."""
+        the HOST wins decisively (host < link/3 — a cold host sample can
+        only understate the host, so a decisive host win is trustworthy,
+        while an apparent decisive DEVICE win may be the cold-frame
+        artifact); otherwise time a second host frame and compare the min —
+        an r4 bench run saw one borderline cold frame lock an 8-frame
+        stream onto a 5x-slower route."""
         t0 = time.perf_counter()
         res = host_fn()
         self._host_probe_ts.append(time.perf_counter() - t0)
@@ -257,8 +261,7 @@ class Decoder:
         except Exception:
             dev_est = float("inf")
         best = min(self._host_probe_ts)
-        decisive = (len(self._host_probe_ts) >= 2 or best < dev_est / 3
-                    or (best > 3 * dev_est and dev_est > 0))
+        decisive = len(self._host_probe_ts) >= 2 or best < dev_est / 3
         if decisive:
             self._route = "host" if best < dev_est else "device"
             self.log(f"decode route: host synth {best * 1e3:.0f} ms/frame "

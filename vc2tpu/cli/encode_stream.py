@@ -352,10 +352,11 @@ def run(args) -> int:
             # rate-control and quantise stages are one fused device dispatch
             # here, so their lines print together at dispatch time
             print(f"Reading input frame number {frame}", file=sys.stderr)
-            print("Forward transform", file=sys.stderr)
+            print("Forward transform (fused)", file=sys.stderr)
             if cfg.mode in (Mode.HQ_CBR, Mode.LD):
-                print("Determine quantisation indices", file=sys.stderr)
-            print("Quantise transform coefficients", file=sys.stderr)
+                print("Determine quantisation indices (fused)",
+                      file=sys.stderr)
+            print("Quantise transform coefficients (fused)", file=sys.stderr)
             print("Split quantised coefficients into slices", file=sys.stderr)
             if output == EncOutput.STREAM:
                 print("Writing compressed output to file", file=sys.stderr)

@@ -53,14 +53,48 @@ from vc2tpu.core.config import WaveletKernel
 from vc2tpu.wavelet.lifting import _STEPS, TRANSFORM_SHIFT
 
 
+def _true_reach(steps) -> int:
+    """Exact interleaved contamination reach of one level's ladder: simulate
+    how deep foreign rows (beyond a strip edge) propagate into the strip
+    through the lifting dependency chain, both boundary directions. The
+    closed-form halo below is an upper bound only by a rounding margin
+    (Fidelity: true 14 vs halo 16), so `_halo` asserts against this exact
+    value — a future _STEPS edit that would silently under-halo fails loudly
+    instead."""
+    N = 64
+
+    def sim(sign):
+        bad = {r: (r < 0) for r in range(-N, N)}
+        get = lambda r: bad[r] if -N <= r < N else (r < 0)
+        for (t, _s, taps, _a, _sh) in steps:
+            pt = 1 if t == "o" else 0
+            ps = 1 - pt
+            new = dict(bad)
+            for r in range(-N, N):
+                if (r & 1) != pt:
+                    continue
+                if any(get(r + sign * (2 * o + ps - pt)) for o, _ in taps):
+                    new[r] = True
+            bad = new
+        return max([r + 1 for r in range(N) if bad[r]] + [0])
+
+    return max(sim(1), sim(-1))
+
+
 @functools.lru_cache(maxsize=None)
 def _halo(kernel: WaveletKernel) -> int:
     """Interleaved-row halo for one level of `kernel`: twice the ladder's
     summed parity-space tap reach, rounded up to the 8-row sublane
-    granularity (and at least 8 so the halo BlockSpec stays tileable)."""
+    granularity (and at least 8 so the halo BlockSpec stays tileable).
+    Guarded by the exact dependency-propagation bound (_true_reach)."""
     reach = sum(max(abs(o) for o, _ in taps)
                 for (_t, _s, taps, _a, _sh) in _STEPS[kernel])
-    return max(8, -(-2 * reach // 8) * 8)
+    halo = max(8, -(-2 * reach // 8) * 8)
+    exact = _true_reach(_STEPS[kernel])
+    assert halo >= exact, (
+        f"under-halo for kernel {kernel}: formula gives {halo} rows but the "
+        f"ladder's true interleaved contamination reach is {exact}")
+    return halo
 
 
 def _lane_shift_clamped(x, k: int, p_src: int, w: int):
