@@ -100,15 +100,33 @@ def main():
 
     chain_ms(gather_only, label="luma block gather")
 
-    # stage 2: entropy unpack only
-    def unpack_only(prev):
+    # stage 2a: merged lane scan only (raw dense blocks, no placement)
+    def scan_only(prev):
         dep = (jnp.uint8(0) if prev is None
                else (prev[0].ravel()[0] & 1).astype(jnp.uint8))
         words = du.assemble_words(pay.at[-1].set(dep))
-        qy = du.unpack_component(words, ds[0], clens[0], Ly, wc[0])
-        qu, qv = du.unpack_chroma_pair(words, ds[1], ds[2], clens[1],
-                                       clens[2], Lc, max(wc[1], wc[2]))
-        return qy, qu, qv
+        d0, d1, d2 = du.hq_component_offsets(clens, 0, jnp.int32(0))
+        dc = jnp.concatenate([d1, d2])
+        Wy, Wc = wc[0], max(wc[1], wc[2])
+        block = du._gather_blocks(words, [(d0 >> 2, Wy), (dc >> 2, Wc)])
+        dall = jnp.concatenate([d0, dc])
+        call = jnp.concatenate([clens[0], clens[1],
+                                clens[2]]).astype(jnp.int32)
+        pos0 = ((dall & 3) * 8).astype(jnp.int32)
+        n = d0.shape[0]
+        lim = jnp.concatenate([jnp.full((n,), Ly, jnp.int32),
+                               jnp.full((2 * n,), Lc, jnp.int32)])
+        steps = max(du._scan_steps(Wy, Ly), du._scan_steps(Wc, Lc))
+        return du._decode_scan_raw(block, pos0, pos0 + 8 * call, lim, steps)
+
+    chain_ms(scan_only, label="gather + lane scan (raw blocks)")
+
+    # stage 2: entropy unpack (gather + scan + placement, all planes)
+    def unpack_only(prev):
+        dep = (jnp.uint8(0) if prev is None
+               else (prev[0].ravel()[0] & 1).astype(jnp.uint8))
+        return du.unpack_hq_lanes(pay.at[-1].set(dep), clens, jnp.int32(0),
+                                  0, (Ly, Lc, Lc), wc)
 
     chain_ms(unpack_only, label="entropy unpack (all planes)")
 

@@ -78,6 +78,82 @@ def test_unpack_random_bytes_fuzz():
     np.testing.assert_array_equal(ref, np.asarray(got))
 
 
+def _pack_interleaved(vals):
+    """Reference-shaped interleaved exp-Golomb packer (VLC.cpp:54-94): for
+    magnitude m, the bits of m+1 below the leading 1, each preceded by a 0
+    follow bit, then a 1 terminator, then the sign bit if m != 0."""
+    bits = []
+    for v in vals:
+        m = abs(int(v))
+        b = bin(m + 1)[3:]                  # bits below the leading 1
+        for ch in b:
+            bits += [0, int(ch)]
+        bits.append(1)
+        if m:
+            bits.append(1 if v < 0 else 0)
+    bits += [1] * (-len(bits) % 8)          # pad to a byte with 1s (0-codes)
+    out = np.zeros(len(bits) // 8, np.uint8)
+    for i, bit in enumerate(bits):
+        out[i // 8] |= bit << (7 - i % 8)
+    return out
+
+
+@pytest.mark.parametrize("case", ["all_long", "alternating", "all_zero_bytes",
+                                  "all_ones", "ramp"])
+def test_unpack_adversarial_scan_bound(case):
+    """Worst cases for the multi-code-per-peek scan's static step bound:
+    rows of maximal 64-bit codes (one code per peek), tiny/huge
+    alternation (peek-straddle every other code), all-0x00 regions (the
+    corrupt-code clamp consuming 64 bits per step), all-0xFF (pure 1-fill,
+    K codes per peek), and a magnitude ramp crossing every code length.
+    Oracle: the host state machine (unpack_signed_streams)."""
+    rng = np.random.default_rng(42)
+    L = 24
+    big = (1 << 30) + 12345                 # 62-bit code (31 data bits)
+    if case == "all_long":
+        rows = [[-big if i % 2 else big for i in range(L)]] * 4
+        regions = [_pack_interleaved(r) for r in rows]
+    elif case == "alternating":
+        rows = [[0 if i % 2 else big for i in range(L)],
+                [big if i % 3 else 0 for i in range(L)],
+                [0, 0, big, big] * (L // 4)]
+        regions = [_pack_interleaved(r) for r in rows]
+    elif case == "all_zero_bytes":
+        # <= 7-byte zero runs: a 56-bit all-zero code terminated by the
+        # bound's 1-fill decodes exactly; 8+ bytes would enter the >62-bit
+        # corrupt-code clamp, where the device engine (old and new) is
+        # documented to diverge from the reference's undefined int wrap
+        regions = [np.zeros(n, np.uint8) for n in (1, 3, 5, 7)]
+    elif case == "all_ones":
+        regions = [np.full(n, 0xFF, np.uint8) for n in (1, 8, 64)]
+    else:
+        rows = [[(1 << k) - 1 for k in range(L)],
+                [-(1 << k) for k in range(L)]]
+        regions = [_pack_interleaved(r) for r in rows]
+    # scatter the regions into one payload at unaligned offsets
+    gap = rng.integers(1, 5, len(regions))
+    starts, lens, chunks, pos = [], [], [], 0
+    for g, r in zip(gap, regions):
+        chunks.append(np.zeros(g, np.uint8))
+        pos += int(g)
+        starts.append(pos)
+        lens.append(len(r))
+        chunks.append(r)
+        pos += len(r)
+    payload = np.concatenate(chunks)
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    ref = unpack_signed_streams(payload, starts * 8, lens * 8, L)
+    p4 = (len(payload) + 3) // 4 * 4 + 8
+    pad = np.zeros(p4, np.uint8)
+    pad[:len(payload)] = payload
+    W = du.window_words(int(lens.max()), L)
+    words = du.assemble_words(jnp.asarray(pad))
+    got = jax.jit(lambda w, d, c: du.unpack_component(w, d, c, L, W))(
+        words, jnp.asarray(starts, jnp.int32), jnp.asarray(lens, jnp.int32))
+    np.testing.assert_array_equal(ref, np.asarray(got))
+
+
 def test_unpack_zero_length_components():
     """A 0-byte bounded region reads only 1-bits: every lane decodes 0."""
     N, Ly, Lc = 5, 16, 8
