@@ -178,6 +178,23 @@ def test_encode_host_route_byte_identical(host_case, tmp_path, monkeypatch):
     assert open(out, "rb").read() == ref
 
 
+@pytest.mark.parametrize("dev_case", ["ld_legall_d2", "ld_midsize",
+                                      "ld_fragmented", "ld_interlaced"])
+def test_encode_ld_device_route_byte_identical(dev_case, tmp_path,
+                                               monkeypatch):
+    """The LD encoder's full on-chip route (device DWT + wavefront rate
+    control rdo/ld.py + device entropy pack) must produce the same stream
+    bytes as the reference binary."""
+    _skip_ld_without_native("ld_")
+    monkeypatch.setenv("VC2TPU_ENCODE_ROUTE", "device")
+    case, inp, extra = next(c for c in CASES if c[0] == dev_case)
+    src = os.path.join(GOLDEN, f"{inp}.16p2")
+    out = str(tmp_path / "out.vc2")
+    _run_encode(_encode_args(case, inp, extra), src, out)
+    ref = open(os.path.join(GOLDEN, f"{case}.vc2"), "rb").read()
+    assert open(out, "rb").read() == ref
+
+
 def test_encoder_psnr_self_check(tmp_path):
     """DECODED tap: in-process decode of our own encode round-trips through
     the same clip/interleave path the reference uses (EncodeStream.cpp:649-767)."""

@@ -105,6 +105,76 @@ def slice_geometry(cfg: EncoderConfig) -> SliceGeometry:
     )
 
 
+def put_planes(picture: Picture, depth: int):
+    """Host->device input transfer at the narrowest exact width — 3x10-bit
+    words for 10-bit video, int8 for <=8-bit, int16 otherwise — fused
+    into ONE buffer so the frame costs a single transfer latency (the
+    tunnel adds ~30-40 ms per transfer; three plane uploads plus the
+    budgets re-upload were pure overhead). Returns (buffer, packed10)."""
+    planes = (picture.y, picture.c1, picture.c2)
+    if depth == 10:
+        # 2D row-thirds pack, the H2D twin of the decode tails'
+        # _pack_planes10: ONE 2D buffer (luma word rows over the
+        # side-by-side chroma pair) so the device unpack needs no
+        # relayout; the transfer linearisation is free either way
+        def pack(a):
+            p = (np.asarray(a, np.int32) + 512).astype(np.uint32)
+            hh, ww = p.shape
+            h3 = -(-hh // 3)
+            if 3 * h3 != hh:
+                p = np.vstack([p, np.zeros((3 * h3 - hh, ww),
+                                           np.uint32)])
+            return (p[:h3] << 20) | (p[h3:2 * h3] << 10) | p[2 * h3:]
+
+        wy, wu, wv = (pack(p) for p in planes)
+        if 2 * wu.shape[1] == wy.shape[1]:
+            fused = np.vstack([wy, np.hstack([wu, wv])])
+        else:
+            fused = np.vstack([wy, wu, wv])
+        return jnp.asarray(fused), True
+    dt = np.int8 if depth <= 8 else (np.int16 if depth <= 16
+                                     else np.int32)
+    return jnp.asarray(np.concatenate(
+        [np.asarray(p, dt).ravel() for p in planes])), False
+
+
+def unpack_ingest(planes, packed10: bool, luma_h: int, luma_w: int,
+                  chroma_h: int, chroma_w: int):
+    """Device-side unpack of put_planes' fused wire buffer into the three
+    int32 planes. For packed10, word row r of a plane packs its rows
+    (r, r+h3, r+2h3): unpacking is three shifts + a row concat — all 2D, no
+    lane-strided interleave and no flat->2D reshape (the old
+    stack().ravel().reshape() form was the same relayout-loop trap the
+    decode tails had)."""
+    if packed10:
+        def unpack2d(w2d, h):
+            v = jnp.concatenate([(w2d >> 20) & 1023,
+                                 (w2d >> 10) & 1023,
+                                 w2d & 1023], axis=0)[:h]
+            return v.astype(jnp.int32) - 512
+
+        lh3 = -(-luma_h // 3)
+        ch3 = -(-chroma_h // 3)
+        if isinstance(planes, tuple):
+            wy, wu, wv = planes
+        elif 2 * chroma_w == luma_w:
+            wy = planes[:lh3]
+            wu = planes[lh3:, :chroma_w]
+            wv = planes[lh3:, chroma_w:]
+        else:
+            wy = planes[:lh3]
+            wu = planes[lh3:lh3 + ch3]
+            wv = planes[lh3 + ch3:]
+        return (unpack2d(wy, luma_h), unpack2d(wu, chroma_h),
+                unpack2d(wv, chroma_h))
+    if isinstance(planes, tuple):
+        return planes
+    ny, nc = luma_h * luma_w, chroma_h * chroma_w
+    return (planes[:ny].reshape(luma_h, luma_w),
+            planes[ny:ny + nc].reshape(chroma_h, chroma_w),
+            planes[ny + nc:ny + 2 * nc].reshape(chroma_h, chroma_w))
+
+
 @dataclasses.dataclass
 class EncodedPicture:
     q_indices: np.ndarray            # int32 [ySlices, xSlices]
@@ -177,40 +247,8 @@ class Encoder:
         luma_h = (g.luma_height // 2 if cfg.interlaced else g.luma_height)
         chroma_h = (g.chroma_height // 2 if cfg.interlaced
                     else g.chroma_height)
-        if packed10:
-            # 2D row-thirds wire form (_put_planes): word row r of a plane
-            # packs its rows (r, r+h3, r+2h3). Unpacking is three shifts +
-            # a row concat — all 2D, no lane-strided interleave and no
-            # flat->2D reshape (the old stack().ravel().reshape() form was
-            # the same relayout-loop trap the decode tails had)
-            def unpack2d(w2d, h):
-                v = jnp.concatenate([(w2d >> 20) & 1023,
-                                     (w2d >> 10) & 1023,
-                                     w2d & 1023], axis=0)[:h]
-                return v.astype(jnp.int32) - 512
-
-            lh3 = -(-luma_h // 3)
-            ch3 = -(-chroma_h // 3)
-            if isinstance(planes, tuple):
-                wy, wu, wv = planes
-            elif 2 * g.chroma_width == g.luma_width:
-                wy = planes[:lh3]
-                wu = planes[lh3:, :g.chroma_width]
-                wv = planes[lh3:, g.chroma_width:]
-            else:
-                wy = planes[:lh3]
-                wu = planes[lh3:lh3 + ch3]
-                wv = planes[lh3 + ch3:]
-            y = unpack2d(wy, luma_h)
-            c1 = unpack2d(wu, chroma_h)
-            c2 = unpack2d(wv, chroma_h)
-        elif isinstance(planes, tuple):
-            y, c1, c2 = planes
-        else:
-            ny, nc = luma_h * g.luma_width, chroma_h * g.chroma_width
-            y = planes[:ny].reshape(luma_h, g.luma_width)
-            c1 = planes[ny:ny + nc].reshape(chroma_h, g.chroma_width)
-            c2 = planes[ny + nc:ny + 2 * nc].reshape(chroma_h, g.chroma_width)
+        y, c1, c2 = unpack_ingest(planes, packed10, luma_h, g.luma_width,
+                                  chroma_h, g.chroma_width)
         ys, xs = self.geo.y_slices, self.geo.x_slices
         by = lifting.forward_bands(lifting.wavelet_pad(y, d), cfg.kernel, d)
         bu = lifting.forward_bands(lifting.wavelet_pad(c1, d), cfg.kernel, d)
@@ -238,37 +276,8 @@ class Encoder:
     # ---- host side ----
 
     def _put_planes(self, picture: Picture):
-        """Host->device input transfer at the narrowest exact width — 3x10-bit
-        words for 10-bit video, int8 for <=8-bit, int16 otherwise — fused
-        into ONE buffer so the frame costs a single transfer latency (the
-        tunnel adds ~30-40 ms per transfer; three plane uploads plus the
-        budgets re-upload were pure overhead)."""
-        depth = max(self.cfg.luma_depth, self.cfg.chroma_depth)
-        planes = (picture.y, picture.c1, picture.c2)
-        if depth == 10:
-            # 2D row-thirds pack, the H2D twin of the decode tails'
-            # _pack_planes10: ONE 2D buffer (luma word rows over the
-            # side-by-side chroma pair) so the device unpack needs no
-            # relayout; the transfer linearisation is free either way
-            def pack(a):
-                p = (np.asarray(a, np.int32) + 512).astype(np.uint32)
-                hh, ww = p.shape
-                h3 = -(-hh // 3)
-                if 3 * h3 != hh:
-                    p = np.vstack([p, np.zeros((3 * h3 - hh, ww),
-                                               np.uint32)])
-                return (p[:h3] << 20) | (p[h3:2 * h3] << 10) | p[2 * h3:]
-
-            wy, wu, wv = (pack(p) for p in planes)
-            if 2 * wu.shape[1] == wy.shape[1]:
-                fused = np.vstack([wy, np.hstack([wu, wv])])
-            else:
-                fused = np.vstack([wy, wu, wv])
-            return jnp.asarray(fused), True
-        dt = np.int8 if depth <= 8 else (np.int16 if depth <= 16
-                                         else np.int32)
-        return jnp.asarray(np.concatenate(
-            [np.asarray(p, dt).ravel() for p in planes])), False
+        return put_planes(picture,
+                          max(self.cfg.luma_depth, self.cfg.chroma_depth))
 
     def _budgets(self):
         """Per-slice byte budgets, uploaded to the device once per Encoder

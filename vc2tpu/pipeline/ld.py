@@ -56,13 +56,35 @@ class LDEncoder:
         d = cfg.wavelet_depth
         self.qm_block_y = _qm_block(*self.geo.luma_slice, d, self.qmatrix)
         self.qm_block_c = _qm_block(*self.geo.chroma_slice, d, self.qmatrix)
-        self.perm_y, _ = layout.lane_order(*self.geo.luma_slice, d)
-        self.perm_c, _ = layout.lane_order(*self.geo.chroma_slice, d)
+        self.perm_y, band_y = layout.lane_order(*self.geo.luma_slice, d)
+        self.perm_c, band_c = layout.lane_order(*self.geo.chroma_slice, d)
         self.picture_bytes = (cfg.compressed_bytes // 2 if cfg.interlaced
                               else cfg.compressed_bytes)
         self.slice_budgets = layout.slice_bytes_map(
             self.geo.y_slices, self.geo.x_slices, self.picture_bytes, 1)
         self._route = None            # analysis-transform route (see _transform)
+        # full on-chip analysis route (DWT + wavefront rate control +
+        # quantise + entropy pack on device, rdo/ld.py + device_pack): the
+        # LD twin of the HQ encoder's device path. VC2TPU_ENCODE_ROUTE
+        # forces it; auto compares the first frame's host time against a
+        # link estimate of the device route's transfers.
+        self.band_sizes_y = tuple(int(c) for c in np.bincount(band_y))
+        self.band_sizes_c = tuple(int(c) for c in np.bincount(band_c))
+        self.qm_bands = self.qmatrix.astype(np.int32)
+        budgets = self.slice_budgets.ravel()
+        from vc2tpu.core.intmath import intlog2
+        from vc2tpu.rdo.ld import avail_bits_np
+
+        self._avail_np = avail_bits_np(tuple(int(b) for b in budgets))
+        self._len_bits_np = np.array(
+            [intlog2(int(8 * b - 7)) for b in budgets], np.int32)
+        self._w32_ld = int(budgets.max()) // 4 + 2
+        self._cap_ld = int(budgets.sum())
+        self._rdo_route = None
+        self._dev_consts = None
+        self._analyse_dev = jax.jit(
+            self._analyse_dev_impl, static_argnames=("packed10",
+                                                     "keep_planes"))
 
         def dwt_planes(y, c1, c2):
             return tuple(
@@ -84,8 +106,142 @@ class LDEncoder:
         self._dwt16 = jax.jit(dwt16)
         self._dwt32 = jax.jit(dwt_planes)
 
+    # --- full on-chip analysis (device route) ---
+
+    def _analyse_dev_impl(self, planes, avail, sizes, len_bits,
+                          packed10: bool = False, keep_planes: bool = False):
+        from vc2tpu.pipeline.encoder import unpack_ingest
+        from vc2tpu.rdo.ld import ld_rate_control
+        from vc2tpu.quant.quantiser import quant_banded
+        from vc2tpu.vlc import device_pack
+
+        cfg = self.cfg
+        d = cfg.wavelet_depth
+        g = cfg.geometry
+        geo = self.geo
+        luma_h = g.luma_height // 2 if cfg.interlaced else g.luma_height
+        chroma_h = g.chroma_height // 2 if cfg.interlaced else g.chroma_height
+        y, c1, c2 = unpack_ingest(planes, packed10, luma_h, g.luma_width,
+                                  chroma_h, g.chroma_width)
+        ys, xs = geo.y_slices, geo.x_slices
+        by = lifting.forward_bands(lifting.wavelet_pad(y, d), cfg.kernel, d)
+        bu = lifting.forward_bands(lifting.wavelet_pad(c1, d), cfg.kernel, d)
+        bv = lifting.forward_bands(lifting.wavelet_pad(c2, d), cfg.kernel, d)
+        ly = lifting.bands_to_lanes(by, ys, xs)
+        lu = lifting.bands_to_lanes(bu, ys, xs)
+        lv = lifting.bands_to_lanes(bv, ys, xs)
+        ts = 1 << d
+        ll_y = (geo.luma_slice[0] // ts, geo.luma_slice[1] // ts)
+        ll_c = (geo.chroma_slice[0] // ts, geo.chroma_slice[1] // ts)
+        qm = jnp.asarray(self.qm_bands)
+        bs_y, bs_c = self.band_sizes_y, self.band_sizes_c
+        q, llqy, llqu, llqv = ld_rate_control(
+            ly, lu, lv, qm, bs_y, bs_c, avail, (ys, xs), ll_y, ll_c)
+        nly, nlc = ll_y[0] * ll_y[1], ll_c[0] * ll_c[1]
+        qy = jnp.concatenate(
+            [llqy, quant_banded(ly[:, nly:], q, qm[1:], bs_y[1:])], axis=1)
+        qu = jnp.concatenate(
+            [llqu, quant_banded(lu[:, nlc:], q, qm[1:], bs_c[1:])], axis=1)
+        qv = jnp.concatenate(
+            [llqv, quant_banded(lv[:, nlc:], q, qm[1:], bs_c[1:])], axis=1)
+        buf = device_pack.pack_ld_core(qy, qu, qv, q, sizes, len_bits,
+                                       w32=self._w32_ld,
+                                       cap_bytes=self._cap_ld)
+        if keep_planes:
+            return buf, dict(ty=lifting.bands_to_inplace(by, d),
+                             tu=lifting.bands_to_inplace(bu, d),
+                             tv=lifting.bands_to_inplace(bv, d),
+                             qy=qy, qu=qu, qv=qv)
+        return buf
+
+    def _encode_device(self, picture: Picture, keep_planes: bool,
+                       ) -> EncodedPicture | None:
+        """Full on-chip LD encode; None when a device-side flag asks for
+        the host fallback (a coefficient needing a >32-bit code)."""
+        from vc2tpu.pipeline.encoder import put_planes
+        from vc2tpu.vlc import device_pack
+
+        cfg = self.cfg
+        geo = self.geo
+        buf_dev, packed10 = put_planes(
+            picture, max(cfg.luma_depth, cfg.chroma_depth))
+        if self._dev_consts is None:
+            self._dev_consts = (jnp.asarray(self._avail_np),
+                                jnp.asarray(self.slice_budgets.ravel()),
+                                jnp.asarray(self._len_bits_np))
+        avail, sizes, len_bits = self._dev_consts
+        res = self._analyse_dev(buf_dev, avail, sizes, len_bits,
+                                packed10=packed10, keep_planes=keep_planes)
+        buf, planes = res if keep_planes else (res, None)
+        buf = np.asarray(buf)
+        n = geo.n_slices
+        flags, q_idx, payload = device_pack.unpack_ld_result(buf, n)
+        if flags & device_pack.FLAG_LD_FIT:
+            raise ValueError(
+                "SliceIO, LD mode: Too many bytes for the U and V slices")
+        if flags:
+            return None
+        out = EncodedPicture(
+            q_indices=np.asarray(q_idx).reshape(geo.y_slices, geo.x_slices),
+            payload=payload.tobytes(),
+            slice_totals=self.slice_budgets.ravel().astype(np.int64))
+        if planes is not None:
+            out.transform = Picture(*(np.asarray(planes[k])
+                                      for k in ("ty", "tu", "tv")),
+                                    picture.chroma_format)
+            d = cfg.wavelet_depth
+            out.quantised = Picture(
+                layout.lanes_to_plane(np.asarray(planes["qy"]),
+                                      geo.y_slices, geo.x_slices,
+                                      *geo.luma_slice, d),
+                layout.lanes_to_plane(np.asarray(planes["qu"]),
+                                      geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, d),
+                layout.lanes_to_plane(np.asarray(planes["qv"]),
+                                      geo.y_slices, geo.x_slices,
+                                      *geo.chroma_slice, d),
+                picture.chroma_format)
+        return out
+
     def encode_picture(self, picture: Picture, keep_planes: bool = False,
                        ) -> EncodedPicture:
+        import os
+        import time
+
+        if self._rdo_route is None:
+            mode = os.environ.get("VC2TPU_ENCODE_ROUTE", "auto")
+            if mode in ("device", "host"):
+                self._rdo_route = mode
+            elif self._mesh is not None:
+                self._rdo_route = "host"   # mesh analysis shards the DWT
+            else:
+                # auto: time the first frame's host path against a link
+                # estimate of the device route's transfers (packed input
+                # up, payload down); on the tunnel the host wins, on a
+                # PCIe-class link the device route does
+                t0 = time.perf_counter()
+                out = self._encode_host(picture, keep_planes)
+                host_t = time.perf_counter() - t0
+                try:
+                    from vc2tpu.cli.decode_stream import Decoder
+
+                    (H, W) = self.geo.padded_luma
+                    (CH, CW) = self.geo.padded_chroma
+                    in_bytes = 4 * (H * W + 2 * CH * CW + 2) // 3
+                    dev_est = Decoder(sink=None)._probe_link_seconds(
+                        in_bytes + self._cap_ld)
+                except Exception:
+                    dev_est = float("inf")
+                self._rdo_route = "host" if host_t < dev_est else "device"
+                return out
+        if self._rdo_route == "device":
+            out = self._encode_device(picture, keep_planes)
+            if out is not None:
+                return out
+        return self._encode_host(picture, keep_planes)
+
+    def _encode_host(self, picture: Picture, keep_planes: bool = False,
+                     ) -> EncodedPicture:
         cfg = self.cfg
         geo = self.geo
         ty, tu, tv = self._transform(picture)

@@ -262,6 +262,134 @@ pack_hq_payload = jax.jit(
                                    "cbr"))
 
 
+def _component_bits(code, nb, dstart_bits, bound_bits):
+    """Bit-granular twin of _component: clip each row's codes at the
+    bounded region (start/length in BITS — the LD slice regions are not
+    byte-aligned, reference Slices.cpp:195-303) and attach local offsets."""
+    cum_ex = jnp.cumsum(nb, axis=1) - nb
+    keep = jnp.clip(bound_bits[:, None] - cum_ex, 0, nb)
+    drop = (nb - keep).astype(jnp.uint32)
+    code = jnp.where(keep > 0, code >> drop, jnp.uint32(0))
+    return code, keep, dstart_bits[:, None] + cum_ex
+
+
+def _global_assemble(local, starts, w32: int, cap_bytes: int):
+    """Word-space scatter-add global assembly (see pack_hq_core's inline
+    rationale): pre-shift each slice's local word row to its global
+    alignment, scatter-add rows at their global word positions (different
+    slices' shares of a boundary word are bit-disjoint, add == OR), then
+    split big-endian bytes. starts: (N,) global BYTE offsets."""
+    basew = starts >> 2
+    sh = ((starts & 3) * 8).astype(jnp.uint32)
+    lpad = jnp.pad(local, ((0, 0), (1, 0)))
+    rpad = jnp.pad(local, ((0, 0), (0, 1)))
+    shv = sh[:, None]
+    out_rows = jnp.where(shv > 0,
+                         (lpad << ((32 - shv) & 31)) | (rpad >> shv),
+                         rpad)
+    dest = basew[:, None] + jnp.arange(w32 + 1, dtype=jnp.int32)[None, :]
+    wordv = jnp.zeros(((cap_bytes + 3) // 4,), jnp.uint32).at[
+        dest.ravel()].add(out_rows.ravel(), mode="drop")
+    return jnp.stack(
+        [(wordv >> jnp.uint32(24 - 8 * b)).astype(jnp.uint8)
+         for b in range(4)], axis=-1).reshape(-1)[:cap_bytes]
+
+
+FLAG_LD_FIT = 64         # LD: interleaved U,V data exceeds the slice's
+                         # remaining bits (host raises, Slices.cpp:262-266)
+
+
+def pack_ld_core(qy, qu, qv, q_idx, sizes, len_bits, *, w32: int,
+                 cap_bytes: int):
+    """Assemble a whole LD picture's slice payload on device.
+
+    Wire format per slice (reference Slices.cpp:195-303): 7-bit qIndex, an
+    intlog2(8*size-7)-bit luma-length field holding the truncated luma bit
+    count, a bounded luma region of exactly that many bits, then the rest
+    of the slice as a bounded interleaved-U,V region (u0 v0 u1 v1 ...,
+    zero-filled to the slice end — unwritten bits stay 0 here, which IS the
+    zero fill).
+
+    qy/qu/qv: (N, L) quantised lanes (LL lanes predictively quantised by
+    rdo/ld.ld_rate_control); q_idx: (N,); sizes: (N,) slice byte budgets;
+    len_bits: (N,) static per-stream field widths intlog2(8*size-7).
+    Returns uint8 [flags u32 | q i32*N | payload (cap_bytes)].
+    """
+    n = qy.shape[0]
+    flags = jnp.uint32(0)
+    sizes = sizes.astype(jnp.int32)
+    len_bits = len_bits.astype(jnp.int32)
+
+    code_y, nb_y, ovf_y = signed_codes(qy.astype(jnp.int32))
+    code_u, nb_u, ovf_u = signed_codes(qu.astype(jnp.int32))
+    code_v, nb_v, ovf_v = signed_codes(qv.astype(jnp.int32))
+    flags = flags | jnp.where(ovf_y | ovf_u | ovf_v,
+                              jnp.uint32(FLAG_CODE_OVERFLOW), jnp.uint32(0))
+
+    y_used = bits_used(qy, nb_y)
+    # interleaved chroma: u lane i sits at position 2i, v at 2i+1
+    Lc = qu.shape[1]
+    idx = jnp.arange(Lc, dtype=jnp.int32)
+    pair = nb_u + nb_v
+    gross_uv = jnp.sum(pair, axis=-1, dtype=jnp.int32)
+    last_uv = jnp.maximum(
+        jnp.max(jnp.where(qu != 0, 2 * idx, -1), axis=-1),
+        jnp.max(jnp.where(qv != 0, 2 * idx + 1, -1), axis=-1))
+    uv_used = jnp.where(last_uv >= 0,
+                        gross_uv - (2 * Lc - 1 - last_uv), 0)
+    uv_bits = 8 * sizes - 7 - len_bits - y_used
+    flags = flags | jnp.where(jnp.any(uv_used > uv_bits),
+                              jnp.uint32(FLAG_LD_FIT), jnp.uint32(0))
+
+    local = jnp.zeros((n, w32), jnp.uint32)
+    # headers: 7-bit qIndex at bit 0, luma length field at bit 7
+    hdr_code = jnp.stack([q_idx.astype(jnp.uint32) & 0x7F,
+                          y_used.astype(jnp.uint32)], axis=1)
+    hdr_keep = jnp.stack([jnp.full((n,), 7, jnp.int32), len_bits], axis=1)
+    hdr_off = jnp.stack([jnp.zeros((n,), jnp.int32),
+                         jnp.full((n,), 7, jnp.int32)], axis=1)
+    w0, p0, p1 = _parts(hdr_code, hdr_keep, hdr_off)
+    local = _accumulate(local, w0, p0, p1, w32)
+    # luma region, bounded at its own truncated count
+    d_y = 7 + len_bits
+    code, keep, off = _component_bits(code_y, nb_y, d_y, y_used)
+    w0, p0, p1 = _parts(code, keep, off)
+    local = _accumulate(local, w0, p0, p1, w32)
+    # interleaved chroma region, bounded at the slice's remaining bits
+    d_uv = d_y + y_used
+    cum_uv = jnp.cumsum(pair, axis=1) - pair
+    keep_u = jnp.clip(uv_bits[:, None] - cum_uv, 0, nb_u)
+    cu = jnp.where(keep_u > 0, code_u >> (nb_u - keep_u).astype(jnp.uint32),
+                   jnp.uint32(0))
+    w0, p0, p1 = _parts(cu, keep_u, d_uv[:, None] + cum_uv)
+    local = _accumulate(local, w0, p0, p1, w32)
+    keep_v = jnp.clip(uv_bits[:, None] - cum_uv - nb_u, 0, nb_v)
+    cv = jnp.where(keep_v > 0, code_v >> (nb_v - keep_v).astype(jnp.uint32),
+                   jnp.uint32(0))
+    w0, p0, p1 = _parts(cv, keep_v, d_uv[:, None] + cum_uv + nb_u)
+    local = _accumulate(local, w0, p0, p1, w32)
+
+    starts = jnp.cumsum(sizes) - sizes
+    payload = _global_assemble(local, starts, w32, cap_bytes)
+    head = jnp.concatenate([
+        jax.lax.bitcast_convert_type(flags[None], jnp.uint8).ravel(),
+        jax.lax.bitcast_convert_type(q_idx.astype(jnp.int32),
+                                     jnp.uint8).ravel(),
+    ])
+    return jnp.concatenate([head, payload])
+
+
+pack_ld_payload = jax.jit(pack_ld_core,
+                          static_argnames=("w32", "cap_bytes"))
+
+
+def unpack_ld_result(buf: np.ndarray, n: int):
+    """Split the fetched LD buffer: (flags, q_idx, payload_bytes)."""
+    flags = int(buf[:4].view(np.uint32)[0])
+    q_idx = buf[4:4 + 4 * n].view(np.int32)
+    return flags, q_idx, buf[4 + 4 * n:]
+
+
 def head_bytes(n: int) -> int:
     """Size of the flags/q_idx/totals head preceding the payload bytes."""
     return 4 + 8 * n
