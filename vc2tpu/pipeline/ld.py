@@ -81,6 +81,7 @@ class LDEncoder:
         self._w32_ld = int(budgets.max()) // 4 + 2
         self._cap_ld = int(budgets.sum())
         self._rdo_route = None
+        self._host_probe_ts = []      # auto-route host samples (see encode_picture)
         self._dev_consts = None
         self._analyse_dev = jax.jit(
             self._analyse_dev_impl, static_argnames=("packed10",
@@ -215,13 +216,19 @@ class LDEncoder:
             elif self._mesh is not None:
                 self._rdo_route = "host"   # mesh analysis shards the DWT
             else:
-                # auto: time the first frame's host path against a link
-                # estimate of the device route's transfers (packed input
-                # up, payload down); on the tunnel the host wins, on a
-                # PCIe-class link the device route does
+                # auto: time this frame's host path against a link estimate
+                # of the device route's transfers (packed input up, payload
+                # down); on the tunnel the host wins, on a PCIe-class link
+                # the device route does. Same cold-frame rule as the
+                # decoder's _auto_route: a single host sample can only
+                # OVERSTATE the host (first-call page-ins, a transient CPU
+                # spike), so commit on the first frame only when the host
+                # wins decisively; an apparent device win needs a second,
+                # warm host sample before it locks the whole stream onto
+                # the link-limited route.
                 t0 = time.perf_counter()
                 out = self._encode_host(picture, keep_planes)
-                host_t = time.perf_counter() - t0
+                self._host_probe_ts.append(time.perf_counter() - t0)
                 try:
                     from vc2tpu.cli.decode_stream import Decoder
 
@@ -232,7 +239,9 @@ class LDEncoder:
                         in_bytes + self._cap_ld)
                 except Exception:
                     dev_est = float("inf")
-                self._rdo_route = "host" if host_t < dev_est else "device"
+                best = min(self._host_probe_ts)
+                if len(self._host_probe_ts) >= 2 or best < dev_est / 3:
+                    self._rdo_route = "host" if best < dev_est else "device"
                 return out
         if self._rdo_route == "device":
             out = self._encode_device(picture, keep_planes)

@@ -38,6 +38,14 @@ the band form is 0.07 ms vs 0.07/0.10 for a pallas-level-0 hybrid and the
 hybrid loses outright at 4K (0.33 vs 0.42 fwd, 0.37 vs 0.59 inv). This
 kernel is the right backend where the interleaved layout is imposed by the
 caller (none of the shipping paths impose it on device).
+
+Round-5 settlement: with the band form faster at every shipped geometry,
+the Pallas budget went to the decode entropy-unpack scan instead (multi-code
+peeks + virtual 1-fill tail, decode step 8.6 -> 5.0 ms) — the win there was
+measured, not speculative. This module stays maintained as (a) the tuning
+seed for any future caller that imposes the in-place interleaved layout on
+device, and (b) the halo/strip sizing model (_true_reach) other fused
+kernels can reuse; it is deliberately not wired into a production path.
 """
 
 from __future__ import annotations
