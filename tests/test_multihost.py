@@ -31,6 +31,10 @@ def test_two_process_encode_byte_identical(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)        # worker sets its own device count
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker must import vc2tpu even on a machine without the .pth
+    # registration (CLAUDE.md setup step) — pass the repo root explicitly
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     for pid in range(n):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
